@@ -1,0 +1,103 @@
+"""Unidirectional path tracer (BSDF sampling only).
+
+Rebuild of the reference `Pathtrace` integrator (include/kernel/rt.h:85-159):
+MaxDepth=10 bounce loop, Russian roulette on max throughput, first-bounce
+albedo/normal AOV capture, emission on miss or light hit.
+
+TPU shape: instead of one SIMT thread recursing per pixel, the whole ray
+batch marches in lockstep through a `lax.fori_loop` over depth with an
+alive mask (wavefront-style; SURVEY.md §2.5/§7). Dead lanes keep computing
+but write nothing — at Cornell-scene scale masking beats compaction; the
+wavefront engine with compaction arrives with the LBVH milestone.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from henjou_tpu.bsdf.lambert import lambert_sample
+from henjou_tpu.integrator.payload import Sky, SurfaceHit, closest_hit
+from henjou_tpu.math.constants import EPS_RAY, TMAX_RAY
+from henjou_tpu.math.vec import dot, local_to_world, orthonormal_basis, world_to_local
+from henjou_tpu.sampling.cmj import CMJState, cmj_1d
+from henjou_tpu.scene.scenedata import FrameScene
+
+MAX_DEPTH = 10  # reference: rt.h:89
+
+
+def default_bsdf_sample(hit: SurfaceHit, local_wo, state: CMJState):
+    """M1 placeholder facade: Lambert-only (the commented-out baseline in the
+    reference raygen, rt.h:145-149). Replaced by the full BSDF dispatch."""
+    return lambert_sample(hit.basecolor, local_wo, state)
+
+
+class PathtraceResult(NamedTuple):
+    lte: jnp.ndarray  # [R,3] radiance estimate
+    aov_albedo: jnp.ndarray  # [R,3] first-hit basecolor
+    aov_normal: jnp.ndarray  # [R,3] first-hit shading normal
+
+
+def pathtrace(
+    frame: FrameScene,
+    sky: Sky,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    state: CMJState,
+    bsdf_sample: Callable = default_bsdf_sample,
+    max_depth: int = MAX_DEPTH,
+    intersect_fn=None,
+) -> PathtraceResult:
+    r = ray_o.shape[0]
+    zero3 = jnp.zeros((r, 3), jnp.float32)
+
+    def body(depth, carry):
+        lte, thr, o, d, st, alive, aov_a, aov_n = carry
+
+        # Russian roulette on max throughput (rt.h:96-102); the sample is
+        # drawn before the trace, matching the reference stream order.
+        u_rr, st = cmj_1d(st)
+        russian_p = jnp.max(thr, axis=-1)
+        survive = russian_p >= u_rr
+        alive = alive & survive
+        thr = thr / jnp.maximum(russian_p, 1e-12)[:, None]
+
+        hit = closest_hit(frame, sky, o, d, EPS_RAY, TMAX_RAY, intersect_fn)
+
+        first = depth == 0
+        aov_a = jnp.where(first, hit.basecolor, aov_a)
+        aov_n = jnp.where(first, hit.normal, aov_n)
+
+        # Miss -> sky emission; light hit -> emitter radiance. Both terminate
+        # (rt.h:118-126).
+        terminal = (~hit.is_hit) | hit.is_light
+        add = alive & terminal
+        lte = lte + jnp.where(add[:, None], thr * hit.emission, 0.0)
+        alive = alive & ~terminal
+
+        # BSDF bounce
+        n = hit.normal
+        t, b = orthonormal_basis(n)
+        local_wo = world_to_local(-d, t, n, b)
+        bsdf, local_wi, pdf, st = bsdf_sample(hit, local_wo, st)
+        wi = local_to_world(local_wi, t, n, b)
+        weight = bsdf * (jnp.abs(dot(wi, n)) / jnp.maximum(pdf, 1e-12))[:, None]
+        thr = jnp.where(alive[:, None], thr * weight, thr)
+        o = jnp.where(alive[:, None], hit.position, o)
+        d = jnp.where(alive[:, None], wi, d)
+        return (lte, thr, o, d, st, alive, aov_a, aov_n)
+
+    init = (
+        zero3,
+        jnp.ones((r, 3), jnp.float32),
+        ray_o,
+        ray_d,
+        state,
+        jnp.ones((r,), jnp.bool_),
+        zero3,
+        zero3,
+    )
+    lte, _, _, _, _, _, aov_a, aov_n = jax.lax.fori_loop(0, max_depth, body, init)
+    return PathtraceResult(lte=lte, aov_albedo=aov_a, aov_normal=aov_n)

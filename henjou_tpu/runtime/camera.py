@@ -1,0 +1,68 @@
+"""Pinhole camera + primary-ray generation.
+
+The reference's raygen is reconstructed (SURVEY.md §0): the host uploads
+camera pos/dir/up/right and f = 2/tan(fov) (renderer.h:1149-1233); raygen
+builds d = normalize(u*right + v*up + f*dir) over the pixel grid with a
+per-sample CMJ jitter. The basis convention (right = cross(dir, +Y),
+up = cross(right, dir), renderer.h:1165-1168) is kept exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from henjou_tpu.math.vec import cross, normalize
+from henjou_tpu.sampling.cmj import CMJState, cmj_2d
+
+
+class Camera(NamedTuple):
+    position: jnp.ndarray  # [3]
+    direction: jnp.ndarray  # [3]
+    up: jnp.ndarray  # [3]
+    right: jnp.ndarray  # [3]
+    f: jnp.ndarray  # scalar, 2/tan(fov)
+
+
+def make_camera(position, direction, fov_rad: float, up=None, right=None) -> Camera:
+    position = np.asarray(position, np.float32)
+    direction = np.asarray(direction, np.float32)
+    direction = direction / np.linalg.norm(direction)
+    if right is None or up is None:
+        # reference: renderer.h:1165-1168 (static camera branch)
+        right = np.cross(direction, np.asarray([0.0, 1.0, 0.0], np.float32))
+        up = np.cross(right, direction)
+    f = 2.0 / np.tan(fov_rad)  # reference: renderer.h:1152
+    return Camera(
+        position=jnp.asarray(position),
+        direction=jnp.asarray(direction),
+        up=jnp.asarray(up, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
+        f=jnp.asarray(f, jnp.float32),
+    )
+
+
+def camera_rays(
+    cam: Camera,
+    width: int,
+    height: int,
+    pixel_idx: jnp.ndarray,
+    state: CMJState,
+):
+    """Primary rays for pixel indices [R] with one CMJ 2D jitter drawn from
+    the per-lane state. Returns (origin[R,3], dir[R,3], state)."""
+    xi, state = cmj_2d(state)
+    px = (pixel_idx % width).astype(jnp.float32) + xi[..., 0]
+    py = (pixel_idx // width).astype(jnp.float32) + xi[..., 1]
+    # NDC with x scaled by aspect, y flipped so +up is the image top
+    u = (2.0 * px - width) / height
+    v = (height - 2.0 * py) / height
+    d = normalize(
+        u[:, None] * cam.right[None, :]
+        + v[:, None] * cam.up[None, :]
+        + cam.f * cam.direction[None, :]
+    )
+    o = jnp.broadcast_to(cam.position[None, :], d.shape)
+    return o, d, state

@@ -1,0 +1,139 @@
+"""Render options: the same JSON schema as the reference.
+
+Parses render_option.json with the reference's section layout
+(include/loader/render_json_loader.h:78-228) into a frozen dataclass
+(include/renderer/render_option.h:45-84), including the fps.txt side-channel
+override (render_json_loader.h:164-171). PTX_File is accepted and ignored —
+there is no PTX on TPU; the pipeline is jit-compiled from this package.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import logging
+import math
+import os
+from typing import Tuple
+
+log = logging.getLogger("henjou_tpu")
+
+
+class RenderMode(enum.Enum):
+    # reference: render_option.h:38-43
+    DEFAULT = "Default"
+    DENOISE = "Denoise"
+    DENOISE_UPSCALE2X = "DenoiseUpScale2X"
+    DEBUG = "Debug"
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOption:
+    image_width: int = 1024
+    image_height: int = 1024
+    image_name: str = "test"
+    image_directory: str = "./"
+    max_spp: int = 100
+
+    gltf_path: str = "./"
+    gltf_name: str = "test.gltf"
+
+    fps: int = 24
+    start_frame: int = 0
+    end_frame: int = 1
+    time_limit: float = 1.0  # minutes (renderer.h:1073: seconds = limit*60)
+
+    allow_camera_animation: bool = False
+    camera_fov: float = math.radians(45.0)
+    camera_position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    camera_direction: Tuple[float, float, float] = (0.0, 0.0, -1.0)
+    camera_animation_id: int = -1
+
+    render_mode: RenderMode = RenderMode.DEFAULT
+
+    use_ibl: bool = False
+    ibl_path: str = ""
+    ibl_intensity: float = 1.0
+    scene_sky_default: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    use_date: bool = False
+    save_render_option: bool = False
+
+    lut_path: str = ""
+
+    # TPU-specific knobs (absent in the reference; defaults keep parity)
+    spp_batch: int = 16  # samples per jitted step (compile-time/ckpt batching)
+    seed: int = 0
+
+
+def _load_fps_txt(path: str):
+    # reference: render_json_loader.h:14-34 — last line wins
+    try:
+        with open(path) as f:
+            fps = None
+            for line in f:
+                line = line.strip()
+                if line:
+                    fps = int(line)
+            return fps
+    except (OSError, ValueError):
+        return None
+
+
+def load_render_option(filepath: str) -> RenderOption:
+    with open(filepath) as f:
+        j = json.load(f)
+
+    img = j["Image"]
+    cam = j["Camera"]
+    anim = j["Animation"]
+    sky = j["Sky"]
+    opt = j.get("Option", {})
+    gltf = j["GLTF_file"]
+
+    mode_str = j.get("Render_mode", "Default")
+    try:
+        mode = RenderMode(mode_str)
+    except ValueError:
+        mode = RenderMode.DEFAULT  # render_json_loader.h:133-136 fallback
+
+    fps = int(anim["fps"])
+    # fps.txt in the option file's directory, then CWD (reference reads ./fps.txt)
+    for cand in (
+        os.path.join(os.path.dirname(os.path.abspath(filepath)), "fps.txt"),
+        "./fps.txt",
+    ):
+        override = _load_fps_txt(cand)
+        if override is not None:
+            log.info("fps.txt override: %d (from %s)", override, cand)
+            fps = override
+            break
+
+    return RenderOption(
+        image_width=int(img["image_width"]),
+        image_height=int(img["image_height"]),
+        image_name=str(img["image_name"]),
+        image_directory=str(img["image_directory"]),
+        max_spp=int(img["max_spp"]),
+        gltf_path=str(gltf["gltf_filepath"]),
+        gltf_name=str(gltf["gltf_filename"]),
+        fps=fps,
+        start_frame=int(anim["start_frame"]),
+        end_frame=int(anim["end_frame"]),
+        time_limit=float(anim["time_limit"]),
+        allow_camera_animation=bool(cam["allow_camera_animation"]),
+        camera_fov=math.pi * float(cam["camera_fov"]) / 180.0,  # json_loader.h:144
+        camera_position=tuple(float(x) for x in cam["camera_position"]),
+        camera_direction=tuple(float(x) for x in cam["camera_direction"]),
+        render_mode=mode,
+        use_ibl=bool(sky["use_IBL"]),
+        ibl_path=str(sky["IBL_path"]),
+        ibl_intensity=float(sky["IBL_intensity"]),
+        scene_sky_default=tuple(float(x) for x in sky["scene_sky_default"]),
+        use_date=bool(opt.get("use_date", False)),
+        save_render_option=bool(opt.get("save_renderOption", False)),
+        lut_path=str(j.get("LUT", {}).get("LUT_path", "")),
+        spp_batch=int(j.get("TPU", {}).get("spp_batch", 16)),
+        seed=int(j.get("TPU", {}).get("seed", 0)),
+    )

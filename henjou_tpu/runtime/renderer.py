@@ -1,0 +1,313 @@
+"""Renderer facade: load -> build -> frame loop -> export.
+
+Rebuild of the reference `class Renderer` (include/renderer/renderer.h:138-1318)
+with the lifecycle re-shaped for XLA:
+
+- `build()` uploads the scene SoA once (cpySceneDataToDevice analogue,
+  renderer.h:197-255).
+- Per frame, animation transforms are evaluated on host and the scene is
+  flattened to world space in one jitted gather+transform (the IAS-rebuild
+  analogue, renderer.h:257-291).
+- The frame is rendered in spp batches over pixel tiles: each jitted step
+  runs `spp_batch` full paths for a tile of pixels and accumulates on
+  device. Batching exists for compile-time, memory, the time-limit-aware
+  scheduler, and checkpoint/resume (SURVEY.md §5) — the reference instead
+  runs all max_spp inside one megakernel launch (renderer.h:1183,1241).
+- Tone-mapped PNGs are written per frame with zero-padded names
+  (renderer.h:1291-1301).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from henjou_tpu.integrator.pathtrace import default_bsdf_sample, pathtrace
+from henjou_tpu.integrator.payload import Sky
+from henjou_tpu.post.png import write_png
+from henjou_tpu.post.srgb import float_to_srgb_u8
+from henjou_tpu.runtime.camera import Camera, camera_rays, make_camera
+from henjou_tpu.runtime.options import RenderMode, RenderOption, load_render_option
+from henjou_tpu.sampling.cmj import make_cmj_state
+from henjou_tpu.scene.scenedata import (
+    DeviceScene,
+    SceneData,
+    build_device_scene,
+    build_frame_scene,
+    identity_transforms,
+)
+
+log = logging.getLogger("henjou_tpu")
+
+# Lane tile: pixels per jitted step. 2^17 lanes keeps the intersector's
+# [lanes, TRI_CHUNK] temporaries inside a few hundred MB of HBM.
+DEFAULT_TILE = 1 << 17
+
+
+class Renderer:
+    def __init__(
+        self,
+        option: Optional[RenderOption] = None,
+        integrator: str = "pathtrace",
+        bsdf_sample: Callable = default_bsdf_sample,
+        tile_size: int = DEFAULT_TILE,
+    ):
+        self.option = option or RenderOption()
+        self.integrator = integrator
+        self.bsdf_sample = bsdf_sample
+        self.tile_size = tile_size
+        self.scene: Optional[SceneData] = None
+        self.device_scene: Optional[DeviceScene] = None
+        self.sky: Optional[Sky] = None
+        self._step = None
+
+    # ---------------- loading ----------------
+
+    def load_render_option(self, path: str):
+        self.option = load_render_option(path)
+        return self
+
+    def set_scene(self, scene: SceneData):
+        self.scene = scene
+        return self
+
+    # ---------------- build ----------------
+
+    def build(self):
+        """Upload scene + compile-ready closures (reference build(),
+        renderer.h:1015-1039)."""
+        assert self.scene is not None, "set_scene or load a file first"
+        self.device_scene = build_device_scene(self.scene)
+        opt = self.option
+        self.sky = Sky(
+            constant_color=jnp.asarray(opt.scene_sky_default, jnp.float32),
+            intensity=jnp.asarray(opt.ibl_intensity, jnp.float32),
+            use_ibl=False,  # IBL texture path lands with the texture system
+        )
+        self._step = self._make_step()
+        self._frame_build = jax.jit(build_frame_scene)
+        return self
+
+    def _make_step(self):
+        bsdf_sample = self.bsdf_sample
+        integrator = self.integrator
+
+        @functools.partial(jax.jit, static_argnames=("spp_count", "width", "height"))
+        def step(
+            frame_scene,
+            sky,
+            cam: Camera,
+            pixel_idx,
+            spp_start,
+            seed,
+            spp_count: int,
+            width: int,
+            height: int,
+        ):
+            n = pixel_idx.shape[0]
+            zero = jnp.zeros((n, 3), jnp.float32)
+
+            def body(i, acc):
+                c, a, nm = acc
+                state = make_cmj_state(
+                    (spp_start + i).astype(jnp.uint32),
+                    pixel_idx.astype(jnp.uint32),
+                    seed,
+                )
+                o, d, state = camera_rays(cam, width, height, pixel_idx, state)
+                if integrator == "pathtrace":
+                    res = pathtrace(frame_scene, sky, o, d, state, bsdf_sample)
+                else:
+                    raise ValueError(f"unknown integrator {integrator}")
+                return (c + res.lte, a + res.aov_albedo, nm + res.aov_normal)
+
+            return jax.lax.fori_loop(0, spp_count, body, (zero, zero, zero))
+
+        return step
+
+    # ---------------- per-frame ----------------
+
+    def _frame_transforms(self, time_s: float):
+        """Animation -> per-instance transforms (updateIASMatrix analogue,
+        renderer.h:257-291). Identity until the animation engine milestone."""
+        from henjou_tpu.math.affine import invert_affine
+
+        num_inst = len(self.scene.instances)
+        xf = identity_transforms(num_inst)
+        anims = self.scene.animations
+        for i, inst in enumerate(self.scene.instances):
+            if 0 <= inst.animation_id < len(anims):
+                xf[i] = anims[inst.animation_id].get_affine(time_s)
+        inv = np.stack([invert_affine(m) for m in xf])
+        return jnp.asarray(xf), jnp.asarray(inv)
+
+    def _frame_camera(self, time_s: float) -> Camera:
+        opt = self.option
+        anims = self.scene.animations if self.scene else []
+        cam_id = self.scene.camera_animation_id if self.scene else -1
+        if opt.allow_camera_animation and 0 <= cam_id < len(anims):
+            # reference: renderer.h:1154-1163 — position through the full TRS
+            # affine, direction/up through rotation only
+            from henjou_tpu.math.affine import apply_affine_point, apply_affine_vector
+
+            anim = anims[cam_id]
+            affine_pos = anim.get_affine(time_s)
+            affine_dir = anim.get_rotation_affine(time_s)
+            pos = apply_affine_point(affine_pos, opt.camera_position)
+            d = apply_affine_vector(affine_dir, opt.camera_direction)
+            up = apply_affine_vector(affine_dir, (0.0, 1.0, 0.0))
+            d = d / np.linalg.norm(d)
+            right = np.cross(d, up)
+            right = right / np.linalg.norm(right)
+            return make_camera(pos, d, self._fov(), up=up, right=right)
+        return make_camera(opt.camera_position, opt.camera_direction, self._fov())
+
+    def _fov(self) -> float:
+        if self.scene is not None and self.scene.camera_fov_from_file:
+            return self.scene.camera_fov_from_file
+        return self.option.camera_fov
+
+    def render_frame(
+        self, frame: int, deadline: Optional[float] = None
+    ) -> dict:
+        """Render one frame; returns dict of [H,W,3] numpy AOVs
+        (color/albedo/normal) plus 'spp_done'."""
+        opt = self.option
+        width, height = opt.image_width, opt.image_height
+        if opt.render_mode == RenderMode.DENOISE_UPSCALE2X:
+            width, height = width // 2, height // 2  # renderer.h:1096-1099
+        n = width * height
+
+        time_s = frame / float(opt.fps)
+        transforms, inv_transforms = self._frame_transforms(time_s)
+        frame_scene = self._frame_build(self.device_scene, transforms, inv_transforms)
+        cam = self._frame_camera(time_s)
+
+        color = np.zeros((n, 3), np.float32)
+        albedo = np.zeros((n, 3), np.float32)
+        normal = np.zeros((n, 3), np.float32)
+
+        spp_done = 0
+        batch = max(1, opt.spp_batch)
+        tile = self.tile_size
+        t0 = time.monotonic()
+        while spp_done < opt.max_spp:
+            cur = min(batch, opt.max_spp - spp_done)
+            for start in range(0, n, tile):
+                stop = min(start + tile, n)
+                pix = jnp.arange(start, stop, dtype=jnp.uint32)
+                c, a, nm = self._step(
+                    frame_scene,
+                    self.sky,
+                    cam,
+                    pix,
+                    jnp.uint32(spp_done),
+                    jnp.uint32(opt.seed + frame),
+                    spp_count=cur,
+                    width=width,
+                    height=height,
+                )
+                color[start:stop] += np.asarray(c)
+                albedo[start:stop] += np.asarray(a)
+                normal[start:stop] += np.asarray(nm)
+            spp_done += cur
+            # deadline-aware spp scheduler (reference keeps the guard
+            # commented out, renderer.h:1248-1254; here it is live)
+            if deadline is not None and time.monotonic() - t0 > deadline:
+                log.warning(
+                    "frame %d: deadline hit at %d/%d spp", frame, spp_done, opt.max_spp
+                )
+                break
+
+        inv = 1.0 / max(spp_done, 1)
+        out = {
+            "color": (color * inv).reshape(height, width, 3),
+            "albedo": (albedo * inv).reshape(height, width, 3),
+            "normal": (normal * inv).reshape(height, width, 3),
+            "spp_done": spp_done,
+        }
+        return out
+
+    # ---------------- full run ----------------
+
+    def initialize_and_render(self, option_path: Optional[str] = None) -> list:
+        """The one true entry point (reference: renderer.h:1053-1317).
+        Returns the list of written PNG paths."""
+        overall_t0 = time.monotonic()
+        if option_path:
+            self.load_render_option(option_path)
+            self._load_scene_from_option()
+        if self.device_scene is None:
+            self.build()
+        opt = self.option
+        budget_s = opt.time_limit * 60.0
+
+        written = []
+        for frame in range(opt.start_frame, opt.end_frame):
+            t0 = time.monotonic()
+            remaining = budget_s - (t0 - overall_t0)
+            aovs = self.render_frame(frame, deadline=max(remaining, 1.0))
+            img = self._finalize(aovs)
+            u8 = np.asarray(float_to_srgb_u8(jnp.asarray(img)))
+            name = f"{opt.image_name}_{frame:03d}.png"  # renderer.h:1291-1301
+            path = os.path.join(opt.image_directory, name)
+            write_png(path, u8)
+            written.append(path)
+            log.info(
+                "frame %d: %d spp in %.2fs -> %s",
+                frame,
+                aovs["spp_done"],
+                time.monotonic() - t0,
+                path,
+            )
+        log.info(
+            "animation done: %.2fs / budget %.2fs",
+            time.monotonic() - overall_t0,
+            budget_s,
+        )
+        return written
+
+    def _finalize(self, aovs: dict) -> np.ndarray:
+        """Default mode = denoiser passthrough (blendFactor 1.0,
+        denoiser.h:94-97): the raw color AOV. Denoise modes land with the
+        denoiser milestone."""
+        mode = self.option.render_mode
+        if mode == RenderMode.DEBUG:
+            return aovs["albedo"]
+        if mode in (RenderMode.DENOISE, RenderMode.DENOISE_UPSCALE2X):
+            from henjou_tpu.post.denoise import denoise_atrous, upscale2x
+
+            out = np.asarray(
+                denoise_atrous(
+                    jnp.asarray(aovs["color"]),
+                    jnp.asarray(aovs["albedo"]),
+                    jnp.asarray(aovs["normal"]),
+                )
+            )
+            if mode == RenderMode.DENOISE_UPSCALE2X:
+                out = np.asarray(upscale2x(jnp.asarray(out)))
+            return out
+        return aovs["color"]
+
+    def _load_scene_from_option(self):
+        opt = self.option
+        path = os.path.join(opt.gltf_path, opt.gltf_name)
+        lower = path.lower()
+        if lower.endswith((".gltf", ".glb")):
+            from henjou_tpu.scene.gltf import load_gltf
+
+            self.set_scene(load_gltf(path))
+        elif lower.endswith(".obj"):
+            from henjou_tpu.scene.obj import load_obj
+
+            self.set_scene(load_obj(path))
+        else:
+            raise ValueError(f"unsupported scene file: {path}")
+        self.build()

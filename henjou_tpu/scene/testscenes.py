@@ -1,0 +1,140 @@
+"""Built-in validation scenes.
+
+The reference ships hand-authored glTF test scenes (cornelbox.gltf,
+WhiteFurnanceTest, …; SURVEY.md §4) plus a hardcoded testGeometry() smoke
+scene (renderer.h:942-978). These builders recreate the canonical ones in
+code so the test suite needs no binary assets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from henjou_tpu.scene.scenedata import (
+    GeometryData,
+    InstanceData,
+    SceneData,
+    make_material,
+)
+
+
+def _quad(p0, p1, p2, p3):
+    """Two CCW triangles for the quad p0-p1-p2-p3."""
+    return [p0, p1, p2, p0, p2, p3]
+
+
+def _face_normal(a, b, c):
+    n = np.cross(np.subtract(b, a), np.subtract(c, a))
+    return n / (np.linalg.norm(n) + 1e-20)
+
+
+def _build_tri_soup(tris_by_material):
+    """tris_by_material: list of (vertex_list, material_id). De-indexed soup
+    with face normals, sequential indices (gltfloader.h:1484-1492 style)."""
+    verts, norms, mat_ids = [], [], []
+    for vlist, mid in tris_by_material:
+        for i in range(0, len(vlist), 3):
+            a, b, c = vlist[i], vlist[i + 1], vlist[i + 2]
+            n = _face_normal(a, b, c)
+            verts.extend([a, b, c])
+            norms.extend([n, n, n])
+            mat_ids.append(mid)
+    verts = np.asarray(verts, np.float32)
+    norms = np.asarray(norms, np.float32)
+    indices = np.arange(len(verts), dtype=np.uint32)
+    return verts, norms, indices, np.asarray(mat_ids, np.uint32)
+
+
+def cornell_box_scene(light_emission=10.0) -> SceneData:
+    """Classic Cornell box in a 2x2x2 cube around the origin, area light in
+    the ceiling — mirrors the reference's cornelbox.gltf test scene."""
+    white = make_material("white", base_color=(0.8, 0.8, 0.8), roughness=1.0)
+    red = make_material("red", base_color=(0.8, 0.05, 0.05), roughness=1.0)
+    green = make_material("green", base_color=(0.05, 0.8, 0.05), roughness=1.0)
+    light = make_material(
+        "light",
+        base_color=(1.0, 1.0, 1.0),
+        emission=(light_emission,) * 3,
+        is_light=True,
+    )
+    materials = [white, red, green, light]
+
+    s = 1.0
+    tris = []
+    # floor (y=-1, normal +y)
+    tris.append((_quad([-s, -s, -s], [-s, -s, s], [s, -s, s], [s, -s, -s]), 0))
+    # ceiling (y=+1, normal -y)
+    tris.append((_quad([-s, s, -s], [s, s, -s], [s, s, s], [-s, s, s]), 0))
+    # back wall (z=+1, normal -z)
+    tris.append((_quad([-s, -s, s], [-s, s, s], [s, s, s], [s, -s, s]), 0))
+    # left wall (x=-1, normal +x) red
+    tris.append((_quad([-s, -s, -s], [-s, s, -s], [-s, s, s], [-s, -s, s]), 1))
+    # right wall (x=+1, normal -x) green
+    tris.append((_quad([s, -s, -s], [s, -s, s], [s, s, s], [s, s, -s]), 2))
+    # ceiling light (slightly below ceiling, normal -y)
+    l = 0.4
+    y = s - 1e-3
+    tris.append((_quad([-l, y, -l], [l, y, -l], [l, y, l], [-l, y, l]), 3))
+
+    verts, norms, indices, mat_ids = _build_tri_soup(tris)
+    scene = SceneData(
+        vertices=verts,
+        indices=indices,
+        material_ids=mat_ids,
+        normals=norms,
+        texcoords=None,
+        colors=None,
+        materials=materials,
+        geometries=[GeometryData(0, len(indices))],
+        instances=[InstanceData(0)],
+    )
+    return scene
+
+
+def furnace_scene(albedo=1.0, roughness=0.5, metallic=1.0) -> SceneData:
+    """White-furnace test: a UV sphere in empty space; the runtime supplies a
+    constant sky. With a perfectly energy-conserving BSDF the sphere must
+    disappear (reference: WhiteFurnanceTest scenes, SURVEY.md §4)."""
+    mat = make_material(
+        "furnace",
+        base_color=(albedo,) * 3,
+        roughness=roughness,
+        metallic=metallic,
+    )
+    lat, lon = 16, 32
+    verts = []
+    for i in range(lat + 1):
+        th = np.pi * i / lat
+        for j in range(lon):
+            ph = 2 * np.pi * j / lon
+            verts.append(
+                [np.sin(th) * np.cos(ph), np.cos(th), np.sin(th) * np.sin(ph)]
+            )
+    verts = np.asarray(verts, np.float32)
+
+    tris = []
+    for i in range(lat):
+        for j in range(lon):
+            a = i * lon + j
+            b = i * lon + (j + 1) % lon
+            c = (i + 1) * lon + j
+            d = (i + 1) * lon + (j + 1) % lon
+            if i != 0:
+                tris.append([a, b, c])
+            if i != lat - 1:
+                tris.append([b, d, c])
+    tri_idx = np.asarray(tris, np.uint32)
+
+    # de-index with smooth (spherical) normals
+    v = verts[tri_idx.reshape(-1)]
+    n = v / np.linalg.norm(v, axis=-1, keepdims=True)
+    indices = np.arange(len(v), dtype=np.uint32)
+    return SceneData(
+        vertices=v,
+        indices=indices,
+        material_ids=np.zeros(len(tri_idx), np.uint32),
+        normals=n.astype(np.float32),
+        texcoords=None,
+        colors=None,
+        materials=[mat],
+    )
