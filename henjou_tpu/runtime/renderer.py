@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from henjou_tpu.integrator.pathtrace import default_bsdf_sample, pathtrace
+from henjou_tpu.integrator.pathtrace import pathtrace
 from henjou_tpu.integrator.payload import Sky
 from henjou_tpu.post.png import write_png
 from henjou_tpu.post.srgb import float_to_srgb_u8
@@ -56,16 +56,17 @@ class Renderer:
         self,
         option: Optional[RenderOption] = None,
         integrator: str = "pathtrace",
-        bsdf_sample: Callable = default_bsdf_sample,
+        bsdf_sample: Optional[Callable] = None,
         tile_size: int = DEFAULT_TILE,
     ):
         self.option = option or RenderOption()
         self.integrator = integrator
-        self.bsdf_sample = bsdf_sample
+        self.bsdf_sample = bsdf_sample  # None -> full facade at build()
         self.tile_size = tile_size
         self.scene: Optional[SceneData] = None
         self.device_scene: Optional[DeviceScene] = None
         self.sky: Optional[Sky] = None
+        self.lut = None
         self._step = None
 
     # ---------------- loading ----------------
@@ -91,6 +92,18 @@ class Renderer:
             intensity=jnp.asarray(opt.ibl_intensity, jnp.float32),
             use_ibl=False,  # IBL texture path lands with the texture system
         )
+        # thin-film LUT (setLUT analogue, renderer.h:854-898): file if
+        # configured, else the built-in analytic Airy LUT
+        from henjou_tpu.texture.lut import default_lut, load_lut_png
+
+        if opt.lut_path and os.path.exists(opt.lut_path):
+            self.lut = load_lut_png(opt.lut_path)
+        else:
+            self.lut = default_lut()
+        if self.bsdf_sample is None:
+            from henjou_tpu.bsdf.dispatch import make_bsdf_sampler
+
+            self.bsdf_sample = make_bsdf_sampler(self.lut)
         self._step = self._make_step()
         self._frame_build = jax.jit(build_frame_scene)
         return self

@@ -9,4 +9,8 @@ from henjou_tpu.scene.scenedata import (
     build_device_scene,
     build_frame_scene,
 )
-from henjou_tpu.scene.testscenes import cornell_box_scene, furnace_scene
+from henjou_tpu.scene.testscenes import (
+    cornell_box_scene,
+    furnace_scene,
+    sphere_gallery_scene,
+)

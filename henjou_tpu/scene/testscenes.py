@@ -91,6 +91,99 @@ def cornell_box_scene(light_emission=10.0) -> SceneData:
     return scene
 
 
+def _uv_sphere(center, radius, lat=16, lon=32):
+    """De-indexed UV sphere with smooth normals: (verts[N,3], normals[N,3])."""
+    pts = []
+    for i in range(lat + 1):
+        th = np.pi * i / lat
+        for j in range(lon):
+            ph = 2 * np.pi * j / lon
+            pts.append(
+                [np.sin(th) * np.cos(ph), np.cos(th), np.sin(th) * np.sin(ph)]
+            )
+    pts = np.asarray(pts, np.float32)
+    tris = []
+    for i in range(lat):
+        for j in range(lon):
+            a = i * lon + j
+            b = i * lon + (j + 1) % lon
+            c = (i + 1) * lon + j
+            d = (i + 1) * lon + (j + 1) % lon
+            if i != 0:
+                tris.append([a, b, c])
+            if i != lat - 1:
+                tris.append([b, d, c])
+    tri_idx = np.asarray(tris, np.uint32)
+    v_unit = pts[tri_idx.reshape(-1)]
+    n = v_unit / np.linalg.norm(v_unit, axis=-1, keepdims=True)
+    v = v_unit * radius + np.asarray(center, np.float32)
+    return v.astype(np.float32), n.astype(np.float32)
+
+
+def sphere_gallery_scene() -> SceneData:
+    """BASELINE config #2: a row of spheres exercising every BSDF lobe —
+    Disney diffuse, rough metal (multiple-scattering GGX), minus-IOR
+    meta-glass, thin-film — over a floor with an area light."""
+    mats = [
+        make_material("floor", base_color=(0.7, 0.7, 0.7), roughness=0.9),
+        make_material("disney", base_color=(0.7, 0.2, 0.2), roughness=0.35),
+        make_material("metal", base_color=(0.9, 0.7, 0.3), roughness=0.3, metallic=1.0),
+        make_material(
+            "metaglass",
+            base_color=(1.0, 1.0, 1.0),
+            roughness=0.0,
+            ior=1.5,
+            transmission=1.0,
+            ideal_specular=True,
+        ),
+        make_material(
+            "thinfilm", base_color=(0.35, 0.35, 0.35), roughness=0.15, is_thinfilm=True
+        ),
+        make_material("light", emission=(20.0, 20.0, 20.0), is_light=True),
+    ]
+
+    verts_all, norms_all, mat_ids = [], [], []
+
+    def add_tris(v, n, mid):
+        verts_all.append(v)
+        norms_all.append(n)
+        mat_ids.extend([mid] * (len(v) // 3))
+
+    # floor at y=-1
+    s = 8.0
+    floor = _quad([-s, -1.0, -s], [-s, -1.0, s], [s, -1.0, s], [s, -1.0, -s])
+    fv = np.asarray(floor, np.float32)
+    fn = np.tile(np.asarray([[0.0, 1.0, 0.0]], np.float32), (len(fv), 1))
+    add_tris(fv, fn, 0)
+
+    # sphere row
+    for k, mid in enumerate((1, 2, 3, 4)):
+        v, n = _uv_sphere(((k - 1.5) * 2.2, 0.0, 0.0), 1.0)
+        add_tris(v, n, mid)
+
+    # area light overhead (facing down)
+    l = 3.0
+    y = 6.0
+    lv = np.asarray(
+        _quad([-l, y, -l], [l, y, -l], [l, y, l], [-l, y, l]), np.float32
+    )
+    ln = np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32), (len(lv), 1))
+    add_tris(lv, ln, 5)
+
+    verts = np.concatenate(verts_all)
+    norms = np.concatenate(norms_all)
+    indices = np.arange(len(verts), dtype=np.uint32)
+    return SceneData(
+        vertices=verts,
+        indices=indices,
+        material_ids=np.asarray(mat_ids, np.uint32),
+        normals=norms,
+        texcoords=None,
+        colors=None,
+        materials=mats,
+    )
+
+
 def furnace_scene(albedo=1.0, roughness=0.5, metallic=1.0) -> SceneData:
     """White-furnace test: a UV sphere in empty space; the runtime supplies a
     constant sky. With a perfectly energy-conserving BSDF the sphere must
