@@ -93,11 +93,14 @@ def intersect_bruteforce(tri_verts, ray_o, ray_d, tmin, tmax=TMAX_RAY):
         best_t = jnp.where(closer, cand_t, best_t)
         return (best_t, best_i, best_u, best_v), None
 
+    # ray-derived init keeps scan-carry varying types consistent under
+    # shard_map (see accel/traverse.py note)
+    vary_f = (ray_o[:, 0] + ray_d[:, 0] + tmin + tmax) * 0.0
     init = (
-        jnp.full((r,), jnp.inf, jnp.float32),
-        jnp.full((r,), -1, jnp.int32),
-        jnp.zeros((r,), jnp.float32),
-        jnp.zeros((r,), jnp.float32),
+        jnp.inf + vary_f,
+        jnp.full((r,), -1, jnp.int32) + vary_f.astype(jnp.int32),
+        vary_f,
+        vary_f,
     )
     bases = jnp.arange(nchunks, dtype=jnp.int32) * TRI_CHUNK
     (best_t, best_i, best_u, best_v), _ = jax.lax.scan(body, init, (chunks, bases))
@@ -126,5 +129,8 @@ def occluded_bruteforce(tri_verts, ray_o, ray_d, tmin, tmax):
         _, _, _, valid = _mt_chunk(ro, rd, v0, v1, v2, tmin[:, None], tmax[:, None])
         return blocked | jnp.any(valid, axis=1), None
 
-    blocked, _ = jax.lax.scan(body, jnp.zeros((r,), jnp.bool_), chunks)
+    vary_b = (ray_o[:, 0] + ray_d[:, 0] + tmin + tmax) != (
+        ray_o[:, 0] + ray_d[:, 0] + tmin + tmax
+    )  # all-False, ray-derived (see shard_map carry note above)
+    blocked, _ = jax.lax.scan(body, vary_b, chunks)
     return blocked

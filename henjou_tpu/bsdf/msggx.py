@@ -100,11 +100,14 @@ def msggx_sample(F0, roughness, wo, state: CMJState):
     r = wo.shape[0]
 
     wr = -wo
+    # carry inits derived from wo so loop-carry varying types match under
+    # shard_map (see accel/traverse.py note)
+    vf = wo[..., 0] * 0.0
     # hr0 = 1 + invC1(0.999) = 1.998 (BSDFs.h:788)
-    hr = jnp.full((r,), 1.998, jnp.float32)
-    weight = jnp.ones((r, 3), jnp.float32)
-    walking = jnp.ones((r,), jnp.bool_)
-    exceeded = jnp.zeros((r,), jnp.bool_)
+    hr = 1.998 + vf
+    weight = 1.0 + wo * 0.0
+    walking = vf == 0.0  # all True
+    exceeded = vf != 0.0  # all False
 
     def sel_state(mask, new: CMJState, old: CMJState) -> CMJState:
         return CMJState(
@@ -149,7 +152,7 @@ def msggx_sample(F0, roughness, wo, state: CMJState):
         walking = continues
         return (wr, hr, weight, walking, exceeded, order, st)
 
-    init = (wr, hr, weight, walking, exceeded, jnp.zeros((r,), jnp.int32), state)
+    init = (wr, hr, weight, walking, exceeded, vf.astype(jnp.int32), state)
     wr, hr, weight, walking, exceeded, order, state = jax.lax.fori_loop(
         0, MAX_SCATTERING_ORDER + 1, body, init
     )

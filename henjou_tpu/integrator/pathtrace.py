@@ -51,7 +51,9 @@ def pathtrace(
     intersect_fn=None,
 ) -> PathtraceResult:
     r = ray_o.shape[0]
-    zero3 = jnp.zeros((r, 3), jnp.float32)
+    # ray-derived zeros keep loop-carry varying types consistent under
+    # shard_map (see accel/traverse.py note)
+    zero3 = (ray_o + ray_d) * 0.0
 
     def body(depth, carry):
         lte, thr, o, d, st, alive, aov_a, aov_n = carry
@@ -91,11 +93,11 @@ def pathtrace(
 
     init = (
         zero3,
-        jnp.ones((r, 3), jnp.float32),
-        ray_o,
-        ray_d,
+        1.0 + zero3,
+        ray_o + zero3,
+        ray_d + zero3,
         state,
-        jnp.ones((r,), jnp.bool_),
+        zero3[:, 0] == 0.0,
         zero3,
         zero3,
     )

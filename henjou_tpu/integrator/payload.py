@@ -118,7 +118,23 @@ def closest_hit(
 
     mat_id = dev.tri_material[prim_safe].astype(jnp.int32)
     m = dev.materials
-    basecolor = m.base_color[mat_id]
+
+    # material texture fetches (the reconstructed __closesthit__ch applies
+    # SBT textures at texcoord; SURVEY.md §0): basecolor modulated by the
+    # sRGB-decoded base texture; glTF metallicRoughness packs roughness in
+    # G and metallic in B.
+    from henjou_tpu.texture.atlas import sample_atlas
+
+    tu, tv = texcoord[:, 0], texcoord[:, 1]
+    base_tex = m.base_color_tex[mat_id]
+    basecolor = m.base_color[mat_id] * sample_atlas(dev.atlas, base_tex, tu, tv)[:, :3]
+    rough_tex = m.roughness_tex[mat_id]
+    mr = sample_atlas(dev.atlas, rough_tex, tu, tv)
+    roughness_v = m.roughness[mat_id] * jnp.where(rough_tex >= 0, mr[:, 1], 1.0)
+    metal_tex = m.metallic_tex[mat_id]
+    mm = sample_atlas(dev.atlas, metal_tex, tu, tv)
+    metallic_v = m.metallic[mat_id] * jnp.where(metal_tex >= 0, mm[:, 2], 1.0)
+
     emission_mat = m.emission[mat_id]
     hitf = is_hit[:, None]
 
@@ -135,8 +151,8 @@ def closest_hit(
         texcoord=jnp.where(hitf, texcoord, jnp.zeros_like(texcoord)),
         material_id=jnp.where(is_hit, mat_id, 0),
         basecolor=jnp.where(hitf, basecolor, zero3),
-        metallic=jnp.where(is_hit, m.metallic[mat_id], 0.0),
-        roughness=jnp.where(is_hit, m.roughness[mat_id], 0.0),
+        metallic=jnp.where(is_hit, metallic_v, 0.0),
+        roughness=jnp.where(is_hit, roughness_v, 0.0),
         subsurface=jnp.where(is_hit, m.subsurface[mat_id], 0.0),
         sheen=jnp.where(is_hit, m.sheen[mat_id], 0.0),
         clearcoat=jnp.where(is_hit, m.clearcoat[mat_id], 0.0),

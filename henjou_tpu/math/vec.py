@@ -174,18 +174,20 @@ def polar_to_xyz(theta, phi):
 
 
 def transform_position(mat: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Apply a row-major [..., 3, 4] affine to points. reference: math.h:73-76."""
-    return (
-        jnp.einsum("...ij,...j->...i", mat[..., :3, :3], pos) + mat[..., :3, 3]
-    )
+    """Apply a row-major [..., 3, 4] affine to points. reference: math.h:73-76.
+
+    Written as broadcast multiply+sum, NOT einsum/dot: XLA lowers tiny
+    einsums to MXU dot_general whose default TPU precision truncates
+    operands to bfloat16 — geometry must stay exact f32 on the VPU."""
+    return jnp.sum(mat[..., :3, :3] * pos[..., None, :], axis=-1) + mat[..., :3, 3]
 
 
 def transform_direction(mat: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Rotate/scale a direction (w=0) by a [..., 3, 4] affine."""
-    return jnp.einsum("...ij,...j->...i", mat[..., :3, :3], d)
+    return jnp.sum(mat[..., :3, :3] * d[..., None, :], axis=-1)
 
 
 def transform_normal(inv_mat: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """Transform a normal by the inverse-transpose: pass the INVERSE affine,
     this applies its 3x3 transpose. reference: math.h:78-87."""
-    return jnp.einsum("...ji,...j->...i", inv_mat[..., :3, :3], n)
+    return jnp.sum(inv_mat[..., :3, :3] * n[..., :, None], axis=-2)

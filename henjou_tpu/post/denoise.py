@@ -1,0 +1,92 @@
+"""AOV-guided denoiser + 2x upscaler.
+
+TPU replacement for the OptiX NN denoiser (reference
+include/renderer/denoiser.h:42-189): same layer interface — color in,
+albedo+normal guide layers, denoised color out, optional 2x upscale
+(DenoiseUpScale2X renders at half resolution, renderer.h:1096-1099).
+
+Implementation: edge-avoiding À-trous wavelet filtering (Dammertz 2010)
+with albedo/normal/color edge-stopping — a classic path-tracing
+reconstruction filter that is pure stencil math, so XLA fuses it into a
+handful of VPU passes. NONDENOISE mode is the identity (blendFactor 1.0,
+denoiser.h:94-97).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# 5x5 B3-spline kernel (separable weights 1/16,1/4,3/8,1/4,1/16)
+_H = jnp.asarray([1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16])
+
+
+def _shift2d(img, dy, dx):
+    """Edge-clamped shift of [H,W,C]."""
+    h, w = img.shape[0], img.shape[1]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def denoise_atrous(
+    color: jnp.ndarray,
+    albedo: jnp.ndarray,
+    normal: jnp.ndarray,
+    iterations: int = 4,
+    sigma_color: float = 0.35,
+    sigma_albedo: float = 0.15,
+    sigma_normal: float = 0.25,
+) -> jnp.ndarray:
+    """color/albedo/normal: [H,W,3] f32 -> denoised [H,W,3]."""
+    out = color
+
+    for it in range(iterations):
+        step = 1 << it
+        acc = jnp.zeros_like(out)
+        wsum = jnp.zeros(out.shape[:2] + (1,), out.dtype)
+        for ky in range(5):
+            for kx in range(5):
+                dy = (ky - 2) * step
+                dx = (kx - 2) * step
+                w_k = float(_H[ky] * _H[kx])
+                c_s = _shift2d(out, dy, dx)
+                a_s = _shift2d(albedo, dy, dx)
+                n_s = _shift2d(normal, dy, dx)
+
+                dc = jnp.sum((c_s - out) ** 2, axis=-1, keepdims=True)
+                da = jnp.sum((a_s - albedo) ** 2, axis=-1, keepdims=True)
+                dn = jnp.sum((n_s - normal) ** 2, axis=-1, keepdims=True)
+                w = (
+                    w_k
+                    * jnp.exp(-dc / (sigma_color * sigma_color))
+                    * jnp.exp(-da / (sigma_albedo * sigma_albedo))
+                    * jnp.exp(-dn / (sigma_normal * sigma_normal))
+                )
+                acc = acc + c_s * w
+                wsum = wsum + w
+        out = acc / jnp.maximum(wsum, 1e-8)
+    return out
+
+
+@jax.jit
+def upscale2x(img: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upscale [H,W,3] -> [2H,2W,3] (UPSCALE2X analogue,
+    denoiser.h:83-101)."""
+    h, w = img.shape[0], img.shape[1]
+    ys = (jnp.arange(2 * h) + 0.5) / 2.0 - 0.5
+    xs = (jnp.arange(2 * w) + 0.5) / 2.0 - 0.5
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    c = img[y1][:, x0]
+    d = img[y1][:, x1]
+    return (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy

@@ -65,6 +65,7 @@ class RenderOption:
     # TPU-specific knobs (absent in the reference; defaults keep parity)
     spp_batch: int = 16  # samples per jitted step (compile-time/ckpt batching)
     seed: int = 0
+    integrator: str = "mis"  # pathtrace | nee | mis (rt.h:85,162,284)
 
 
 def _load_fps_txt(path: str):
@@ -136,4 +137,5 @@ def load_render_option(filepath: str) -> RenderOption:
         lut_path=str(j.get("LUT", {}).get("LUT_path", "")),
         spp_batch=int(j.get("TPU", {}).get("spp_batch", 16)),
         seed=int(j.get("TPU", {}).get("seed", 0)),
+        integrator=str(j.get("TPU", {}).get("integrator", "mis")),
     )

@@ -55,12 +55,12 @@ class Renderer:
     def __init__(
         self,
         option: Optional[RenderOption] = None,
-        integrator: str = "pathtrace",
+        integrator: Optional[str] = None,
         bsdf_sample: Optional[Callable] = None,
         tile_size: int = DEFAULT_TILE,
     ):
         self.option = option or RenderOption()
-        self.integrator = integrator
+        self.integrator = integrator or self.option.integrator
         self.bsdf_sample = bsdf_sample  # None -> full facade at build()
         self.tile_size = tile_size
         self.scene: Optional[SceneData] = None
@@ -87,10 +87,20 @@ class Renderer:
         assert self.scene is not None, "set_scene or load a file first"
         self.device_scene = build_device_scene(self.scene)
         opt = self.option
+        ibl_tex = None
+        use_ibl = False
+        if opt.use_ibl and opt.ibl_path and os.path.exists(opt.ibl_path):
+            from henjou_tpu.texture.ibl import load_ibl
+
+            ibl_tex = load_ibl(opt.ibl_path)
+            use_ibl = True
+        elif opt.use_ibl:
+            log.warning("IBL requested but file missing: %s", opt.ibl_path)
         self.sky = Sky(
             constant_color=jnp.asarray(opt.scene_sky_default, jnp.float32),
             intensity=jnp.asarray(opt.ibl_intensity, jnp.float32),
-            use_ibl=False,  # IBL texture path lands with the texture system
+            use_ibl=use_ibl,
+            ibl_texture=ibl_tex,
         )
         # thin-film LUT (setLUT analogue, renderer.h:854-898): file if
         # configured, else the built-in analytic Airy LUT
@@ -104,17 +114,28 @@ class Renderer:
             from henjou_tpu.bsdf.dispatch import make_bsdf_sampler
 
             self.bsdf_sample = make_bsdf_sampler(self.lut)
+        from henjou_tpu.bsdf.dispatch import bsdf_eval, bsdf_pdf
+
+        lut = self.lut
+        self.bsdf_eval = lambda hit, wo, wi: bsdf_eval(hit, wo, wi, lut)
+        self.bsdf_pdf = bsdf_pdf
         self._step = self._make_step()
         self._frame_build = jax.jit(build_frame_scene)
+        from henjou_tpu.accel.lbvh import build_lbvh
+
+        self._bvh_build = jax.jit(build_lbvh)
         return self
 
     def _make_step(self):
         bsdf_sample = self.bsdf_sample
+        bsdf_eval = getattr(self, "bsdf_eval", None)
+        bsdf_pdf = getattr(self, "bsdf_pdf", None)
         integrator = self.integrator
 
         @functools.partial(jax.jit, static_argnames=("spp_count", "width", "height"))
         def step(
             frame_scene,
+            accel,
             sky,
             cam: Camera,
             pixel_idx,
@@ -127,6 +148,13 @@ class Renderer:
             n = pixel_idx.shape[0]
             zero = jnp.zeros((n, 3), jnp.float32)
 
+            if accel is not None:
+                from henjou_tpu.accel.traverse import make_bvh_intersector
+
+                intersect_fn, occluded_fn = make_bvh_intersector(accel)
+            else:
+                intersect_fn, occluded_fn = None, None
+
             def body(i, acc):
                 c, a, nm = acc
                 state = make_cmj_state(
@@ -136,7 +164,25 @@ class Renderer:
                 )
                 o, d, state = camera_rays(cam, width, height, pixel_idx, state)
                 if integrator == "pathtrace":
-                    res = pathtrace(frame_scene, sky, o, d, state, bsdf_sample)
+                    res = pathtrace(
+                        frame_scene, sky, o, d, state, bsdf_sample,
+                        intersect_fn=intersect_fn,
+                    )
+                elif integrator == "nee":
+                    from henjou_tpu.integrator.nee import nee
+
+                    res = nee(
+                        frame_scene, sky, o, d, state, bsdf_sample, bsdf_eval,
+                        intersect_fn=intersect_fn, occluded_fn=occluded_fn,
+                    )
+                elif integrator == "mis":
+                    from henjou_tpu.integrator.mis import mis
+
+                    res = mis(
+                        frame_scene, sky, o, d, state,
+                        bsdf_sample, bsdf_eval, bsdf_pdf,
+                        intersect_fn=intersect_fn, occluded_fn=occluded_fn,
+                    )
                 else:
                     raise ValueError(f"unknown integrator {integrator}")
                 return (c + res.lte, a + res.aov_albedo, nm + res.aov_normal)
@@ -203,6 +249,12 @@ class Renderer:
         frame_scene = self._frame_build(self.device_scene, transforms, inv_transforms)
         cam = self._frame_camera(time_s)
 
+        # Acceleration structure: LBVH once the scene outgrows brute force
+        # (the per-frame rebuild mirrors the reference's per-frame IAS
+        # rebuild, renderer.h:257-291).
+        ntris = int(frame_scene.tri_verts.shape[0])
+        accel = self._bvh_build(frame_scene.tri_verts) if ntris > 256 else None
+
         color = np.zeros((n, 3), np.float32)
         albedo = np.zeros((n, 3), np.float32)
         normal = np.zeros((n, 3), np.float32)
@@ -218,6 +270,7 @@ class Renderer:
                 pix = jnp.arange(start, stop, dtype=jnp.uint32)
                 c, a, nm = self._step(
                     frame_scene,
+                    accel,
                     self.sky,
                     cam,
                     pix,

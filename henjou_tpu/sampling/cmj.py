@@ -44,12 +44,15 @@ class CMJState(NamedTuple):
 def make_cmj_state(n_spp, image_idx, seed=0) -> CMJState:
     n_spp = _u32(n_spp)
     image_idx = _u32(image_idx)
-    zeros = jnp.zeros_like(image_idx)
+    # every field mixes in 0*n_spp + 0*image_idx so the whole state is
+    # uniformly varying under shard_map when either input is (loop carries
+    # require matching varying-axis types; see accel/traverse.py note)
+    vary = jnp.broadcast_to(n_spp * _u32(0), image_idx.shape) + image_idx * _u32(0)
     return CMJState(
-        n_spp=jnp.broadcast_to(n_spp, zeros.shape).astype(_U32),
-        scramble=jnp.broadcast_to(_u32(seed), zeros.shape).astype(_U32),
-        depth=zeros,
-        image_idx=image_idx,
+        n_spp=jnp.broadcast_to(n_spp, vary.shape).astype(_U32) + vary,
+        scramble=jnp.broadcast_to(_u32(seed), vary.shape).astype(_U32) + vary,
+        depth=vary,
+        image_idx=image_idx + vary,
     )
 
 

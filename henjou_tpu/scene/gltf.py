@@ -1,0 +1,369 @@
+"""glTF 2.0 loader: hand-rolled .gltf/.glb parser -> SceneData.
+
+Behavior-parity rebuild of the reference's tinygltf-based loader
+(include/loader/gltfloader.h:1068-1601), with the same semantics:
+
+- every mesh primitive is flattened into the global DE-INDEXED triangle
+  soup with sequential indices (gltfloader.h:1484-1492); face normals are
+  generated when missing (gltfloader.h:1465-1470); texcoords default 0.
+- PBR metallic-roughness materials; metallic_tex aliases the
+  roughness texture (gltfloader.h:1157); emissive factor scaled by
+  KHR_materials_emissive_strength; is_light when emissive sum > 0
+  (gltfloader.h:1162-1168); KHR extensions clearcoat / sheen /
+  transmission / ior; the custom `ThinFilm` extension sets is_thinfilm
+  (gltfloader.h:1194-1258); ideal_specular = (roughness == 0 and
+  transmission > 0) (gltfloader.h:1260-1263).
+- per-node TRS base pose seeds a 1-key animation; animation channels
+  append keyed data to the target node's tracks (gltfloader.h:1312-1343,
+  1536-1589). Animations are indexed BY NODE id.
+- a camera node (when allow_camera_animation) resets camera pos/dir to
+  the origin looking -z, records its node id as camera_animation_id, and
+  overrides the fov with the camera's yfov (gltfloader.h:1514-1522).
+- emissive triangles harvested into the light lists (gltfloader.h:1496-1500).
+
+No tinygltf: pure python/numpy (JSON + GLB container + data URIs),
+strided accessor reads via numpy as_strided.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+from henjou_tpu.scene.animation import Animation, AnimationTrack, static_animation
+from henjou_tpu.scene.scenedata import (
+    GeometryData,
+    InstanceData,
+    SceneData,
+    make_material,
+)
+from henjou_tpu.texture.texture import Texture, TexType, load_texture_cached
+
+log = logging.getLogger("henjou_tpu")
+
+_COMPONENT_DTYPES = {
+    5120: np.int8,
+    5121: np.uint8,
+    5122: np.int16,
+    5123: np.uint16,
+    5125: np.uint32,
+    5126: np.float32,
+}
+_TYPE_NCOMP = {
+    "SCALAR": 1,
+    "VEC2": 2,
+    "VEC3": 3,
+    "VEC4": 4,
+    "MAT2": 4,
+    "MAT3": 9,
+    "MAT4": 16,
+}
+
+
+def _load_glb(path: str):
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version, _length = struct.unpack_from("<III", data, 0)
+    if magic != 0x46546C67:  # 'glTF'
+        raise ValueError(f"not a GLB file: {path}")
+    offset = 12
+    gltf_json = None
+    bin_chunk = None
+    while offset < len(data):
+        chunk_len, chunk_type = struct.unpack_from("<II", data, offset)
+        chunk = data[offset + 8 : offset + 8 + chunk_len]
+        if chunk_type == 0x4E4F534A:  # JSON
+            gltf_json = json.loads(chunk.decode("utf-8"))
+        elif chunk_type == 0x004E4942:  # BIN
+            bin_chunk = chunk
+        offset += 8 + chunk_len
+    if gltf_json is None:
+        raise ValueError(f"GLB without JSON chunk: {path}")
+    return gltf_json, bin_chunk
+
+
+class _Gltf:
+    """Parsed glTF document with accessor reads."""
+
+    def __init__(self, path: str):
+        self.dir = os.path.dirname(os.path.abspath(path))
+        self.bin_chunk: Optional[bytes] = None
+        if path.lower().endswith(".glb"):
+            self.doc, self.bin_chunk = _load_glb(path)
+        else:
+            with open(path) as f:
+                self.doc = json.load(f)
+        self._buffers = {}
+
+    def buffer(self, idx: int) -> bytes:
+        if idx in self._buffers:
+            return self._buffers[idx]
+        spec = self.doc["buffers"][idx]
+        uri = spec.get("uri")
+        if uri is None:
+            data = self.bin_chunk
+        elif uri.startswith("data:"):
+            data = base64.b64decode(uri.split(",", 1)[1])
+        else:
+            from urllib.parse import unquote
+
+            with open(os.path.join(self.dir, unquote(uri)), "rb") as f:
+                data = f.read()
+        self._buffers[idx] = data
+        return data
+
+    def accessor(self, idx: int) -> np.ndarray:
+        """Read accessor idx as [count, ncomp] (or [count] for scalars)."""
+        acc = self.doc["accessors"][idx]
+        if "sparse" in acc:
+            raise NotImplementedError("sparse accessors not supported")
+        dtype = np.dtype(_COMPONENT_DTYPES[acc["componentType"]])
+        ncomp = _TYPE_NCOMP[acc["type"]]
+        count = acc["count"]
+        if "bufferView" not in acc:
+            out = np.zeros((count, ncomp), dtype)
+            return out[:, 0] if ncomp == 1 else out
+        bv = self.doc["bufferViews"][acc["bufferView"]]
+        buf = self.buffer(bv["buffer"])
+        offset = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        elem_size = dtype.itemsize * ncomp
+        stride = bv.get("byteStride", 0) or elem_size
+        raw = np.frombuffer(
+            buf, np.uint8, count=stride * (count - 1) + elem_size, offset=offset
+        )
+        strided = np.lib.stride_tricks.as_strided(
+            raw, shape=(count, elem_size), strides=(stride, 1)
+        )
+        out = np.ascontiguousarray(strided).view(dtype).reshape(count, ncomp)
+        return out[:, 0] if ncomp == 1 else out
+
+
+def _ext_scalar(extensions: dict, ext_name: str, key: str, default):
+    ext = extensions.get(ext_name)
+    if isinstance(ext, dict) and key in ext:
+        return ext[key]
+    return default
+
+
+def _harvest_material(doc: dict, mat: dict, gltf_dir: str, textures, tex_cache):
+    """One glTF material -> uber material (gltfloader.h:1125-1267)."""
+
+    def tex_uri(tex_index):
+        tex = doc["textures"][tex_index]
+        img = doc["images"][tex["source"]]
+        return img.get("uri")
+
+    pbr = mat.get("pbrMetallicRoughness", {})
+    base_factor = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+
+    base_tex = -1
+    if "baseColorTexture" in pbr:
+        uri = tex_uri(pbr["baseColorTexture"]["index"])
+        if uri:
+            base_tex = load_texture_cached(
+                textures, tex_cache, uri, gltf_dir, TexType.SRGB
+            )
+
+    roughness = float(pbr.get("roughnessFactor", 1.0))
+    rough_tex = -1
+    if "metallicRoughnessTexture" in pbr:
+        uri = tex_uri(pbr["metallicRoughnessTexture"]["index"])
+        if uri:
+            rough_tex = load_texture_cached(
+                textures, tex_cache, uri, gltf_dir, TexType.NON_COLOR
+            )
+
+    normal_tex = -1
+    if "normalTexture" in mat:
+        uri = tex_uri(mat["normalTexture"]["index"])
+        if uri:
+            normal_tex = load_texture_cached(
+                textures, tex_cache, uri, gltf_dir, TexType.NON_COLOR
+            )
+
+    emission = np.asarray(mat.get("emissiveFactor", [0.0, 0.0, 0.0]), np.float32)
+    ext = mat.get("extensions", {})
+    emission = emission * float(
+        _ext_scalar(ext, "KHR_materials_emissive_strength", "emissiveStrength", 1.0)
+    )
+
+    clearcoat = float(_ext_scalar(ext, "KHR_materials_clearcoat", "clearcoatFactor", 0.0))
+    sheen = float(_ext_scalar(ext, "KHR_materials_sheen", "sheenRoughnessFactor", 0.0))
+    transmission = float(
+        _ext_scalar(ext, "KHR_materials_transmission", "transmissionFactor", 0.0)
+    )
+    ior = float(_ext_scalar(ext, "KHR_materials_ior", "ior", 1.0))
+    is_thinfilm = "is_ThinFilm" in (ext.get("ThinFilm") or {})
+
+    is_light = bool(emission.sum() > 0.0)
+    ideal_specular = roughness == 0.0 and transmission > 0.0
+
+    return make_material(
+        name=mat.get("name", ""),
+        base_color=base_factor[:3],
+        base_color_tex=base_tex,
+        roughness=roughness,
+        roughness_tex=rough_tex,
+        metallic=float(pbr.get("metallicFactor", 1.0)),
+        metallic_tex=rough_tex,  # gltfloader.h:1157
+        sheen=sheen,
+        clearcoat=clearcoat,
+        subsurface=0.0,
+        ior=ior,
+        transmission=transmission,
+        normal_tex=normal_tex,
+        emission=emission,
+        is_light=is_light,
+        ideal_specular=ideal_specular,
+        is_thinfilm=is_thinfilm,
+    )
+
+
+def load_gltf(path: str, allow_camera_animation: bool = True) -> SceneData:
+    g = _Gltf(path)
+    doc = g.doc
+
+    textures: list = []
+    tex_cache: dict = {}
+    materials = [
+        _harvest_material(doc, m, g.dir, textures, tex_cache)
+        for m in doc.get("materials", [])
+    ]
+    if not materials:
+        materials = [make_material("default")]
+
+    nodes = doc.get("nodes", [])
+    animations = [
+        static_animation(
+            n.get("translation", (0, 0, 0)),
+            n.get("rotation", (0, 0, 0, 1)),
+            n.get("scale", (1, 1, 1)),
+        )
+        for n in nodes
+    ]
+
+    vertices, normals, texcoords, indices = [], [], [], []
+    material_ids = []
+    geometries, instances = [], []
+    camera_animation_id = -1
+    camera_fov = None
+
+    for node_index, node in enumerate(nodes):
+        mesh_id = node.get("mesh", -1)
+        cam_id = node.get("camera", -1)
+        if mesh_id != -1:
+            mesh = doc["meshes"][mesh_id]
+            tri_count_before = sum(len(m) for m in material_ids)
+            index_offset = tri_count_before * 3
+            for prim in mesh.get("primitives", []):
+                attrs = prim.get("attributes", {})
+                pos = g.accessor(attrs["POSITION"]).astype(np.float32)
+                nrm = (
+                    g.accessor(attrs["NORMAL"]).astype(np.float32)
+                    if "NORMAL" in attrs
+                    else None
+                )
+                tc = (
+                    g.accessor(attrs["TEXCOORD_0"]).astype(np.float32)
+                    if "TEXCOORD_0" in attrs
+                    else None
+                )
+                if "indices" in prim:
+                    idx = g.accessor(prim["indices"]).astype(np.uint32).reshape(-1)
+                else:
+                    idx = np.arange(len(pos), dtype=np.uint32)
+                idx = idx.reshape(-1, 3)
+
+                v = pos[idx.reshape(-1)].reshape(-1, 3, 3)
+                if nrm is not None:
+                    n3 = nrm[idx.reshape(-1)].reshape(-1, 3, 3)
+                else:
+                    face_n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+                    face_n /= np.maximum(
+                        np.linalg.norm(face_n, axis=-1, keepdims=True), 1e-20
+                    )
+                    n3 = np.repeat(face_n[:, None, :], 3, axis=1)
+                if tc is not None:
+                    t3 = tc[idx.reshape(-1)].reshape(-1, 3, 2)
+                else:
+                    t3 = np.zeros((len(idx), 3, 2), np.float32)
+
+                vertices.append(v.reshape(-1, 3))
+                normals.append(n3.reshape(-1, 3))
+                texcoords.append(t3.reshape(-1, 2))
+                mat_id = prim.get("material", 0)
+                material_ids.append(np.full(len(idx), mat_id, np.uint32))
+
+            index_count = sum(len(m) for m in material_ids) * 3 - index_offset
+            geometries.append(GeometryData(index_offset, index_count))
+            instances.append(
+                InstanceData(geometry_id=len(geometries) - 1, animation_id=node_index)
+            )
+        elif cam_id != -1 and allow_camera_animation:
+            camera_animation_id = node_index
+            camera_fov = float(
+                doc["cameras"][cam_id].get("perspective", {}).get("yfov", 0.7854)
+            )
+
+    if not vertices:
+        raise ValueError(f"glTF has no mesh geometry: {path}")
+
+    all_verts = np.concatenate(vertices)
+    all_normals = np.concatenate(normals)
+    all_texcoords = np.concatenate(texcoords)
+    all_mat_ids = np.concatenate(material_ids)
+    all_indices = np.arange(len(all_verts), dtype=np.uint32)
+
+    # ---- animation channels append onto the node base poses ----
+    for anim in doc.get("animations", []):
+        samplers = anim.get("samplers", [])
+        for channel in anim.get("channels", []):
+            sampler = samplers[channel["sampler"]]
+            target = channel.get("target", {})
+            node_id = target.get("node", -1)
+            path_name = target.get("path")
+            if node_id < 0 or path_name not in ("translation", "rotation", "scale"):
+                continue
+            keys = g.accessor(sampler["input"]).astype(np.float32).reshape(-1)
+            data = g.accessor(sampler["output"]).astype(np.float32)
+            track: AnimationTrack = getattr(
+                animations[node_id],
+                {"translation": "translation", "rotation": "rotation", "scale": "scale"}[
+                    path_name
+                ],
+            )
+            for k, val in zip(keys, data):
+                track.keys.append(float(k))
+                track.values.append(val.tolist())
+            track.interpolation = sampler.get("interpolation", "LINEAR")
+
+    scene = SceneData(
+        vertices=all_verts,
+        indices=all_indices,
+        material_ids=all_mat_ids,
+        normals=all_normals,
+        texcoords=all_texcoords,
+        colors=None,
+        materials=materials,
+        textures=textures,
+        animations=animations,
+        geometries=geometries,
+        instances=instances,
+        camera_animation_id=camera_animation_id,
+        camera_fov_from_file=camera_fov,
+    )
+    log.info(
+        "glTF loaded: %d tris, %d materials, %d instances, %d textures, %d nodes",
+        len(all_mat_ids),
+        len(materials),
+        len(instances),
+        len(textures),
+        len(nodes),
+    )
+    return scene

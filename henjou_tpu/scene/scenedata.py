@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -173,9 +174,12 @@ class MaterialTable(NamedTuple):
     is_thinfilm: jnp.ndarray  # [M] bool
 
 
-class DeviceScene(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
     """Static device buffers (uploaded once, cpySceneDataToDevice analogue,
-    renderer.h:197-255)."""
+    renderer.h:197-255). `num_lights` is static metadata so light-count
+    logic stays compile-time across jit boundaries."""
 
     vertices: jnp.ndarray  # [V,3] object space
     normals: jnp.ndarray  # [V,3]
@@ -188,7 +192,8 @@ class DeviceScene(NamedTuple):
     materials: MaterialTable
     light_prim_ids: jnp.ndarray  # [L] u32 global tri ids (emissive)
     light_prim_emission: jnp.ndarray  # [L,3]
-    num_lights: int  # static
+    atlas: "TextureAtlas"  # packed scene textures (textureBind analogue)
+    num_lights: int = dataclasses.field(metadata=dict(static=True))
 
 
 class FrameScene(NamedTuple):
@@ -267,7 +272,10 @@ def build_device_scene(scene: SceneData) -> DeviceScene:
         is_thinfilm=jnp.asarray([m["is_thinfilm"] for m in mats], jnp.bool_),
     )
 
+    from henjou_tpu.texture.atlas import build_atlas
+
     return DeviceScene(
+        atlas=build_atlas(scene.textures),
         vertices=jnp.asarray(scene.vertices),
         normals=jnp.asarray(scene.normals),
         texcoords=jnp.asarray(scene.texcoords),

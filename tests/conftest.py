@@ -2,11 +2,14 @@
 
 Real TPU hardware is single-chip in CI; multi-chip sharding tests run on
 XLA's host-platform virtual devices instead (SURVEY.md §4).
+
+Note: this environment force-prefers the experimental 'axon' TPU platform
+and IGNORES the JAX_PLATFORMS env var — the programmatic config update
+below is the only override that actually works.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +18,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
