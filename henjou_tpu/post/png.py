@@ -92,6 +92,14 @@ def read_png(path: str) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     bypp = channels * (bitdepth // 8)  # bytes per pixel
     stride = w * bypp
+
+    # native fast path (henjou_tpu.native); python loop as fallback
+    from henjou_tpu.native import png_unfilter as _native_unfilter
+
+    out = _native_unfilter(raw, h, stride, bypp)
+    if out is not None:
+        return _expand_png(out, w, h, channels, bitdepth, color_type, palette, trns)
+
     out = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
     offs = 0
@@ -124,7 +132,11 @@ def read_png(path: str) -> np.ndarray:
         out[y] = cur
         prev = cur
 
-    img = out.reshape(h, w, bypp)
+    return _expand_png(out, w, h, channels, bitdepth, color_type, palette, trns)
+
+
+def _expand_png(out, w, h, channels, bitdepth, color_type, palette, trns):
+    img = out.reshape(h, w, channels * (bitdepth // 8))
     if bitdepth == 16:
         img = img.reshape(h, w, channels, 2)[:, :, :, 0]  # high byte
     else:

@@ -58,6 +58,7 @@ class Renderer:
         integrator: Optional[str] = None,
         bsdf_sample: Optional[Callable] = None,
         tile_size: int = DEFAULT_TILE,
+        closure_mode: Optional[bool] = None,
     ):
         self.option = option or RenderOption()
         self.integrator = integrator or self.option.integrator
@@ -68,6 +69,18 @@ class Renderer:
         self.sky: Optional[Sky] = None
         self.lut = None
         self._step = None
+        # Workaround for the experimental 'axon' TPU backend: passing the
+        # world-space triangle arrays through the jit boundary miscompiles
+        # the NEE/MIS program (verified by bisection: identical math with
+        # the same arrays as closure constants compiles correctly, and the
+        # CPU backend is correct either way). In closure mode the per-frame
+        # step closes over the frame scene instead — one retrace per frame,
+        # numerically correct.
+        if closure_mode is None:
+            platform = jax.devices()[0].platform if jax.devices() else "cpu"
+            closure_mode = platform not in ("cpu",)
+        self.closure_mode = closure_mode
+        self._closure_cache = {}
 
     # ---------------- loading ----------------
 
@@ -125,6 +138,66 @@ class Renderer:
 
         self._bvh_build = jax.jit(build_lbvh)
         return self
+
+    def _integrate(self, frame_scene, sky, o, d, state, intersect_fn, occluded_fn):
+        """One spp of the selected integrator over a lane batch."""
+        integrator = self.integrator
+        if integrator == "pathtrace":
+            return pathtrace(
+                frame_scene, sky, o, d, state, self.bsdf_sample,
+                intersect_fn=intersect_fn,
+            )
+        if integrator == "nee":
+            from henjou_tpu.integrator.nee import nee
+
+            return nee(
+                frame_scene, sky, o, d, state, self.bsdf_sample, self.bsdf_eval,
+                intersect_fn=intersect_fn, occluded_fn=occluded_fn,
+            )
+        if integrator == "mis":
+            from henjou_tpu.integrator.mis import mis
+
+            return mis(
+                frame_scene, sky, o, d, state,
+                self.bsdf_sample, self.bsdf_eval, self.bsdf_pdf,
+                intersect_fn=intersect_fn, occluded_fn=occluded_fn,
+            )
+        raise ValueError(f"unknown integrator {integrator}")
+
+    def _make_closure_step(self, frame_scene, accel, cam, width, height):
+        """Per-frame step with the scene closed over (axon workaround, see
+        __init__). Cached per frame index to avoid recompiling within the
+        spp/tile loops of one frame."""
+        if accel is not None:
+            from henjou_tpu.accel.traverse import make_bvh_intersector
+
+            intersect_fn, occluded_fn = make_bvh_intersector(accel)
+        else:
+            intersect_fn, occluded_fn = None, None
+        sky = self.sky
+        me = self
+
+        @functools.partial(jax.jit, static_argnames=("spp_count",))
+        def step(pixel_idx, spp_start, seed, spp_count: int):
+            n = pixel_idx.shape[0]
+            zero = jnp.zeros((n, 3), jnp.float32)
+
+            def body(i, acc):
+                c, a, nm = acc
+                state = make_cmj_state(
+                    (spp_start + i).astype(jnp.uint32),
+                    pixel_idx.astype(jnp.uint32),
+                    seed,
+                )
+                o, d, state = camera_rays(cam, width, height, pixel_idx, state)
+                res = me._integrate(
+                    frame_scene, sky, o, d, state, intersect_fn, occluded_fn
+                )
+                return (c + res.lte, a + res.aov_albedo, nm + res.aov_normal)
+
+            return jax.lax.fori_loop(0, spp_count, body, (zero, zero, zero))
+
+        return step
 
     def _make_step(self):
         bsdf_sample = self.bsdf_sample
@@ -234,16 +307,25 @@ class Renderer:
         return self.option.camera_fov
 
     def render_frame(
-        self, frame: int, deadline: Optional[float] = None
+        self,
+        frame: int,
+        deadline: Optional[float] = None,
+        checkpoint_path: Optional[str] = None,
     ) -> dict:
         """Render one frame; returns dict of [H,W,3] numpy AOVs
-        (color/albedo/normal) plus 'spp_done'."""
+        (color/albedo/normal) plus 'spp_done'.
+
+        With `checkpoint_path`, accumulation state is snapshotted after
+        every spp batch and resumed on restart — the progressive
+        checkpoint/resume the reference lacks (SURVEY.md §5: each frame is
+        one all-spp megakernel launch there)."""
         opt = self.option
         width, height = opt.image_width, opt.image_height
         if opt.render_mode == RenderMode.DENOISE_UPSCALE2X:
             width, height = width // 2, height // 2  # renderer.h:1096-1099
         n = width * height
 
+        t_build0 = time.monotonic()
         time_s = frame / float(opt.fps)
         transforms, inv_transforms = self._frame_transforms(time_s)
         frame_scene = self._frame_build(self.device_scene, transforms, inv_transforms)
@@ -254,12 +336,32 @@ class Renderer:
         # rebuild, renderer.h:257-291).
         ntris = int(frame_scene.tri_verts.shape[0])
         accel = self._bvh_build(frame_scene.tri_verts) if ntris > 256 else None
+        jax.block_until_ready(accel if accel is not None else frame_scene.tri_verts)
+        build_ms = (time.monotonic() - t_build0) * 1e3
 
         color = np.zeros((n, 3), np.float32)
         albedo = np.zeros((n, 3), np.float32)
         normal = np.zeros((n, 3), np.float32)
 
         spp_done = 0
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            if int(ck["frame"]) == frame and ck["color"].shape == color.shape:
+                color, albedo, normal = ck["color"], ck["albedo"], ck["normal"]
+                spp_done = int(ck["spp_done"])
+                log.info("resumed frame %d at %d spp from %s", frame, spp_done, checkpoint_path)
+
+        if self.closure_mode:
+            key = (frame, width, height)
+            if self._closure_cache.get("key") != key:
+                self._closure_cache = {
+                    "key": key,
+                    "step": self._make_closure_step(
+                        frame_scene, accel, cam, width, height
+                    ),
+                }
+            closure_step = self._closure_cache["step"]
+
         batch = max(1, opt.spp_batch)
         tile = self.tile_size
         t0 = time.monotonic()
@@ -268,22 +370,40 @@ class Renderer:
             for start in range(0, n, tile):
                 stop = min(start + tile, n)
                 pix = jnp.arange(start, stop, dtype=jnp.uint32)
-                c, a, nm = self._step(
-                    frame_scene,
-                    accel,
-                    self.sky,
-                    cam,
-                    pix,
-                    jnp.uint32(spp_done),
-                    jnp.uint32(opt.seed + frame),
-                    spp_count=cur,
-                    width=width,
-                    height=height,
-                )
+                if self.closure_mode:
+                    c, a, nm = closure_step(
+                        pix,
+                        jnp.uint32(spp_done),
+                        jnp.uint32(opt.seed + frame),
+                        spp_count=cur,
+                    )
+                else:
+                    c, a, nm = self._step(
+                        frame_scene,
+                        accel,
+                        self.sky,
+                        cam,
+                        pix,
+                        jnp.uint32(spp_done),
+                        jnp.uint32(opt.seed + frame),
+                        spp_count=cur,
+                        width=width,
+                        height=height,
+                    )
                 color[start:stop] += np.asarray(c)
                 albedo[start:stop] += np.asarray(a)
                 normal[start:stop] += np.asarray(nm)
             spp_done += cur
+            if checkpoint_path:
+                np.savez(
+                    checkpoint_path + ".tmp.npz",
+                    frame=frame,
+                    spp_done=spp_done,
+                    color=color,
+                    albedo=albedo,
+                    normal=normal,
+                )
+                os.replace(checkpoint_path + ".tmp.npz", checkpoint_path)
             # deadline-aware spp scheduler (reference keeps the guard
             # commented out, renderer.h:1248-1254; here it is live)
             if deadline is not None and time.monotonic() - t0 > deadline:
@@ -291,6 +411,17 @@ class Renderer:
                     "frame %d: deadline hit at %d/%d spp", frame, spp_done, opt.max_spp
                 )
                 break
+
+        render_s = time.monotonic() - t0
+        rays_lower_bound = n * spp_done  # >= 1 trace per path
+        log.info(
+            "frame %d timing: accel build %.1fms, render %.2fs (%d spp, >=%.1f Mrays/s)",
+            frame,
+            build_ms,
+            render_s,
+            spp_done,
+            rays_lower_bound / max(render_s, 1e-9) / 1e6,
+        )
 
         inv = 1.0 / max(spp_done, 1)
         out = {
@@ -300,6 +431,36 @@ class Renderer:
             "spp_done": spp_done,
         }
         return out
+
+    def render_debug(self, frame: int) -> dict:
+        """Debug render mode (render_option.h:42): first-hit
+        position/basecolor/normal/texcoord AOV images, one sample, no
+        bounces."""
+        opt = self.option
+        width, height = opt.image_width, opt.image_height
+        time_s = frame / float(opt.fps)
+        transforms, inv_transforms = self._frame_transforms(time_s)
+        frame_scene = self._frame_build(self.device_scene, transforms, inv_transforms)
+        cam = self._frame_camera(time_s)
+
+        from henjou_tpu.integrator.payload import closest_hit
+        from henjou_tpu.sampling.cmj import make_cmj_state
+
+        @jax.jit
+        def dbg(frame_scene, cam):
+            pix = jnp.arange(width * height, dtype=jnp.uint32)
+            st = make_cmj_state(jnp.zeros_like(pix), pix, opt.seed)
+            o, d, st = camera_rays(cam, width, height, pix, st)
+            hit = closest_hit(frame_scene, self.sky, o, d)
+            return hit.position, hit.basecolor, hit.normal, hit.texcoord
+
+        pos, base, nrm, tc = dbg(frame_scene, cam)
+        return {
+            "position": np.asarray(pos).reshape(height, width, 3),
+            "basecolor": np.asarray(base).reshape(height, width, 3),
+            "normal": np.asarray(nrm).reshape(height, width, 3),
+            "texcoord": np.asarray(tc).reshape(height, width, 2),
+        }
 
     # ---------------- full run ----------------
 
@@ -318,8 +479,31 @@ class Renderer:
         written = []
         for frame in range(opt.start_frame, opt.end_frame):
             t0 = time.monotonic()
+            if opt.render_mode == RenderMode.DEBUG:
+                # Debug mode: dump the four first-hit AOV images
+                # (render_option.h:42)
+                dbg = self.render_debug(frame)
+                for key in ("position", "basecolor", "normal", "texcoord"):
+                    img = dbg[key]
+                    if img.shape[-1] == 2:
+                        img = np.concatenate([img, np.zeros_like(img[..., :1])], -1)
+                    u8 = np.asarray(float_to_srgb_u8(jnp.asarray(np.abs(img))))
+                    name = f"{opt.image_name}_{key}_{frame:03d}.png"
+                    path = os.path.join(opt.image_directory, name)
+                    write_png(path, u8)
+                    written.append(path)
+                continue
             remaining = budget_s - (t0 - overall_t0)
-            aovs = self.render_frame(frame, deadline=max(remaining, 1.0))
+            out_dir = os.path.join(
+                opt.image_directory, os.path.dirname(opt.image_name)
+            )
+            base = os.path.basename(opt.image_name)
+            ckpt = os.path.join(out_dir, f".{base}_{frame:03d}.ckpt.npz")
+            aovs = self.render_frame(
+                frame, deadline=max(remaining, 1.0), checkpoint_path=ckpt
+            )
+            if os.path.exists(ckpt):
+                os.remove(ckpt)  # frame complete
             img = self._finalize(aovs)
             u8 = np.asarray(float_to_srgb_u8(jnp.asarray(img)))
             name = f"{opt.image_name}_{frame:03d}.png"  # renderer.h:1291-1301

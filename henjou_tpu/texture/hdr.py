@@ -33,6 +33,13 @@ def read_hdr(path: str) -> np.ndarray:
         raise ValueError(f"unsupported HDR orientation: {res}")
     height, width = int(res[1]), int(res[3])
 
+    # native fast path (henjou_tpu.native); python loop as fallback
+    from henjou_tpu.native import hdr_decode as _native_hdr
+
+    native = _native_hdr(data[pos:], width, height)
+    if native is not None:
+        return native
+
     raw = np.frombuffer(data, np.uint8, offset=pos)
     img = np.zeros((height, width, 4), np.uint8)
     offs = 0
