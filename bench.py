@@ -25,8 +25,7 @@ BASELINE_MRAYS = 150.0
 
 
 def main():
-    from henjou_tpu.accel.lbvh import build_lbvh
-    from henjou_tpu.accel.traverse import make_bvh_intersector
+    from henjou_tpu.accel.pallas_cluster import make_pallas_intersector, pack_clusters
     from henjou_tpu.integrator.mis import mis
     from henjou_tpu.integrator.payload import Sky
     from henjou_tpu.runtime.camera import camera_rays, make_camera
@@ -36,8 +35,8 @@ def main():
 
     dev = build_device_scene(sphere_gallery_scene())
     frame = jax.jit(build_frame_scene)(dev, None, None)
-    bvh = jax.jit(build_lbvh)(frame.tri_verts)
-    intersect_fn, occluded_fn = make_bvh_intersector(bvh)
+    pc = pack_clusters(frame.tri_verts)  # eager: jitted build miscompiles on axon
+    intersect_fn, occluded_fn = make_pallas_intersector(pc)
     sky = Sky(
         constant_color=jnp.asarray([0.3, 0.4, 0.55]), intensity=jnp.asarray(1.0)
     )
@@ -47,9 +46,13 @@ def main():
     lanes = width * height
     max_depth = 10
 
+    from henjou_tpu.runtime.renderer import _swizzled_pixel_order
+
+    pix_order = jnp.asarray(_swizzled_pixel_order(width, height))
+
     @jax.jit
     def step(spp_idx):
-        pix = jnp.arange(lanes, dtype=jnp.uint32)
+        pix = pix_order
         st = make_cmj_state(
             jnp.broadcast_to(spp_idx.astype(jnp.uint32), (lanes,)), pix, 7
         )

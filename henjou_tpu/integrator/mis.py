@@ -67,7 +67,8 @@ def mis(
         alive = alive & (russian_p >= u_rr)
         thr = thr / jnp.maximum(russian_p, 1e-12)[:, None]
 
-        hit = closest_hit(frame, sky, o, d, EPS_RAY, TMAX_RAY, intersect_fn)
+        lane_tmax = jnp.where(alive, TMAX_RAY, 0.0)  # dead-lane gating
+        hit = closest_hit(frame, sky, o, d, EPS_RAY, lane_tmax, intersect_fn)
 
         first = depth == 0
         aov_a = jnp.where(first, hit.basecolor, aov_a)
@@ -88,7 +89,8 @@ def mis(
         l_dist = jnp.maximum(length(to_light), 1e-12)
         l_dir = to_light / l_dist[:, None]
         shadow_blocked = occluded(
-            frame, hit.position, l_dir, EPS_RAY, l_dist - 1e-3, occluded_fn
+            frame, hit.position, l_dir, EPS_RAY,
+            jnp.where(alive, l_dist - 1e-3, 0.0), occluded_fn
         )
         cos1 = absdot(n, l_dir)
         cos2 = absdot(l_normal, -l_dir)
@@ -111,7 +113,7 @@ def mis(
         wi_b = local_to_world(local_wi_b, t, n, b)
         cos1_b = absdot(wi_b, n)
         hit_b = closest_hit(
-            frame, sky, hit.position, wi_b, EPS_RAY, TMAX_RAY, intersect_fn
+            frame, sky, hit.position, wi_b, EPS_RAY, lane_tmax, intersect_fn
         )
         # emitter hit: balance-weighted (rt.h:404-416)
         cos2_b = absdot(-wi_b, hit_b.normal)

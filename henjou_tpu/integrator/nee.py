@@ -59,7 +59,8 @@ def nee(
         alive = alive & (russian_p >= u_rr)
         thr = thr / jnp.maximum(russian_p, 1e-12)[:, None]
 
-        hit = closest_hit(frame, sky, o, d, EPS_RAY, TMAX_RAY, intersect_fn)
+        lane_tmax = jnp.where(alive, TMAX_RAY, 0.0)  # dead-lane gating
+        hit = closest_hit(frame, sky, o, d, EPS_RAY, lane_tmax, intersect_fn)
 
         first = depth == 0
         aov_a = jnp.where(first, hit.basecolor, aov_a)
@@ -81,7 +82,8 @@ def nee(
         l_dist = jnp.maximum(length(to_light), 1e-12)
         l_dir = to_light / l_dist[:, None]
         shadow_blocked = occluded(
-            frame, hit.position, l_dir, EPS_RAY, l_dist - 1e-3, occluded_fn
+            frame, hit.position, l_dir, EPS_RAY,
+            jnp.where(alive, l_dist - 1e-3, 0.0), occluded_fn
         )
         cos1 = absdot(n, l_dir)
         cos2 = absdot(l_normal, -l_dir)

@@ -66,7 +66,10 @@ def pathtrace(
         alive = alive & survive
         thr = thr / jnp.maximum(russian_p, 1e-12)[:, None]
 
-        hit = closest_hit(frame, sky, o, d, EPS_RAY, TMAX_RAY, intersect_fn)
+        # dead lanes trace with tmax=0: the intersector's skip test then
+        # eliminates their work entirely (results are masked anyway)
+        lane_tmax = jnp.where(alive, TMAX_RAY, 0.0)
+        hit = closest_hit(frame, sky, o, d, EPS_RAY, lane_tmax, intersect_fn)
 
         first = depth == 0
         aov_a = jnp.where(first, hit.basecolor, aov_a)

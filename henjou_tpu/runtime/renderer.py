@@ -51,6 +51,21 @@ log = logging.getLogger("henjou_tpu")
 DEFAULT_TILE = 1 << 17
 
 
+@functools.lru_cache(maxsize=8)
+def _swizzled_pixel_order(width: int, height: int, bw: int = 32, bh: int = 16):
+    """Pixel indices reordered into bw x bh screen blocks so each 512-lane
+    kernel tile is a compact image block — packet coherence for the
+    cluster-skip test in the Pallas intersector (a scanline tile spans the
+    whole screen; a block tile overlaps few clusters)."""
+    p = np.arange(width * height)
+    px = p % width
+    py = p // width
+    blocks_x = (width + bw - 1) // bw
+    key = (py // bh) * blocks_x + (px // bw)
+    inner = (py % bh) * bw + (px % bw)
+    return np.argsort(key * (bw * bh) + inner, kind="stable").astype(np.uint32)
+
+
 class Renderer:
     def __init__(
         self,
@@ -135,9 +150,67 @@ class Renderer:
         self._step = self._make_step()
         self._frame_build = jax.jit(build_frame_scene)
         from henjou_tpu.accel.lbvh import build_lbvh
+        from henjou_tpu.accel.pallas_cluster import pack_clusters
 
-        self._bvh_build = jax.jit(build_lbvh)
+        # On the experimental TPU platform, jitting the accel builds
+        # miscompiles the sort+gather pipeline (verified: jitted
+        # pack_clusters returns corrupted vertex planes). Workaround: build
+        # on the CPU backend (fast, jitted, correct) and transfer — the
+        # build is tiny next to HBM bandwidth.
+        if jax.devices()[0].platform == "cpu":
+            self._bvh_build = jax.jit(build_lbvh)
+            self._pack_build = jax.jit(pack_clusters)
+        else:
+            cpu = jax.devices("cpu")[0]
+            tpu = jax.devices()[0]
+
+            def on_cpu_then_transfer(fn):
+                jfn = jax.jit(fn)
+
+                def build(tri_verts):
+                    host = jax.device_put(tri_verts, cpu)
+                    with jax.default_device(cpu):
+                        out = jfn(host)
+                    return jax.device_put(jax.block_until_ready(out), tpu)
+
+                return build
+
+            self._bvh_build = on_cpu_then_transfer(build_lbvh)
+            self._pack_build = on_cpu_then_transfer(pack_clusters)
         return self
+
+    # VMEM budget for keeping the whole packed cluster set on-chip in the
+    # Pallas kernel (v5e has ~16 MB/core; leave room for ray tiles/scratch)
+    PALLAS_VMEM_BUDGET = 8 << 20
+
+    def _select_accel(self, frame_scene):
+        """Pick the intersector for this frame: brute force for tiny
+        scenes; the fused Pallas packet/cluster kernel on TPU when the
+        scene fits VMEM; LBVH traversal otherwise (and on CPU)."""
+        ntris = int(frame_scene.tri_verts.shape[0])
+        if ntris <= 256:
+            return None
+        platform = jax.devices()[0].platform
+        if platform != "cpu":
+            pc = self._pack_build(frame_scene.tri_verts)
+            if pc.vmem_bytes <= self.PALLAS_VMEM_BUDGET:
+                return pc
+        return self._bvh_build(frame_scene.tri_verts)
+
+    @staticmethod
+    def _accel_adapters(accel):
+        if accel is None:
+            return None, None
+        from henjou_tpu.accel.pallas_cluster import (
+            PackedClusters,
+            make_pallas_intersector,
+        )
+
+        if isinstance(accel, PackedClusters):
+            return make_pallas_intersector(accel)
+        from henjou_tpu.accel.traverse import make_bvh_intersector
+
+        return make_bvh_intersector(accel)
 
     def _integrate(self, frame_scene, sky, o, d, state, intersect_fn, occluded_fn):
         """One spp of the selected integrator over a lane batch."""
@@ -168,12 +241,7 @@ class Renderer:
         """Per-frame step with the scene closed over (axon workaround, see
         __init__). Cached per frame index to avoid recompiling within the
         spp/tile loops of one frame."""
-        if accel is not None:
-            from henjou_tpu.accel.traverse import make_bvh_intersector
-
-            intersect_fn, occluded_fn = make_bvh_intersector(accel)
-        else:
-            intersect_fn, occluded_fn = None, None
+        intersect_fn, occluded_fn = self._accel_adapters(accel)
         sky = self.sky
         me = self
 
@@ -221,12 +289,7 @@ class Renderer:
             n = pixel_idx.shape[0]
             zero = jnp.zeros((n, 3), jnp.float32)
 
-            if accel is not None:
-                from henjou_tpu.accel.traverse import make_bvh_intersector
-
-                intersect_fn, occluded_fn = make_bvh_intersector(accel)
-            else:
-                intersect_fn, occluded_fn = None, None
+            intersect_fn, occluded_fn = Renderer._accel_adapters(accel)
 
             def body(i, acc):
                 c, a, nm = acc
@@ -331,11 +394,9 @@ class Renderer:
         frame_scene = self._frame_build(self.device_scene, transforms, inv_transforms)
         cam = self._frame_camera(time_s)
 
-        # Acceleration structure: LBVH once the scene outgrows brute force
-        # (the per-frame rebuild mirrors the reference's per-frame IAS
-        # rebuild, renderer.h:257-291).
-        ntris = int(frame_scene.tri_verts.shape[0])
-        accel = self._bvh_build(frame_scene.tri_verts) if ntris > 256 else None
+        # Acceleration structure rebuilt per frame (the reference's
+        # per-frame IAS rebuild analogue, renderer.h:257-291).
+        accel = self._select_accel(frame_scene)
         jax.block_until_ready(accel if accel is not None else frame_scene.tri_verts)
         build_ms = (time.monotonic() - t_build0) * 1e3
 
@@ -364,12 +425,14 @@ class Renderer:
 
         batch = max(1, opt.spp_batch)
         tile = self.tile_size
+        pix_order = _swizzled_pixel_order(width, height)
         t0 = time.monotonic()
         while spp_done < opt.max_spp:
             cur = min(batch, opt.max_spp - spp_done)
             for start in range(0, n, tile):
                 stop = min(start + tile, n)
-                pix = jnp.arange(start, stop, dtype=jnp.uint32)
+                pix_np = pix_order[start:stop]
+                pix = jnp.asarray(pix_np)
                 if self.closure_mode:
                     c, a, nm = closure_step(
                         pix,
@@ -390,9 +453,9 @@ class Renderer:
                         width=width,
                         height=height,
                     )
-                color[start:stop] += np.asarray(c)
-                albedo[start:stop] += np.asarray(a)
-                normal[start:stop] += np.asarray(nm)
+                color[pix_np] += np.asarray(c)
+                albedo[pix_np] += np.asarray(a)
+                normal[pix_np] += np.asarray(nm)
             spp_done += cur
             if checkpoint_path:
                 np.savez(

@@ -1,0 +1,63 @@
+"""Pallas packet/cluster kernel tests (interpret mode on CPU; the compiled
+path is exercised on real TPU by bench.py and the renderer)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from henjou_tpu.accel.bruteforce import intersect_bruteforce
+from henjou_tpu.accel.pallas_cluster import (
+    RAY_TILE,
+    pack_clusters,
+    intersect_pallas,
+)
+
+
+def random_scene_rays(ntri, nray, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-4, 4, size=(ntri, 1, 3))
+    tris = jnp.asarray((centers + rng.uniform(-0.3, 0.3, (ntri, 3, 3))).astype(np.float32))
+    o = jnp.asarray(rng.uniform(-6, 6, size=(nray, 3)).astype(np.float32))
+    d = rng.normal(size=(nray, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return tris, o, jnp.asarray(d)
+
+
+def test_pack_shapes():
+    tris, _, _ = random_scene_rays(300, 1)
+    pc = pack_clusters(tris)
+    assert pc.num_clusters == 3
+    assert pc.v0x.shape == (3, 128)
+    assert pc.aabb.shape == (8, 8)
+    assert int((np.asarray(pc.order) < 0).sum()) == 3 * 128 - 300
+
+
+def test_matches_bruteforce_interpret():
+    for ntri, nray, seed in ((50, RAY_TILE, 1), (700, 2 * RAY_TILE, 2)):
+        tris, o, d = random_scene_rays(ntri, nray, seed)
+        pc = pack_clusters(tris)
+        t_b, p_b, u_b, v_b, h_b = intersect_bruteforce(tris, o, d, 1e-3)
+        t_p, p_p, u_p, v_p, h_p = intersect_pallas(pc, o, d, 1e-3, interpret=True)
+        np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_p))
+        hb = np.asarray(h_b)
+        np.testing.assert_array_equal(np.asarray(p_b)[hb], np.asarray(p_p)[hb])
+        np.testing.assert_allclose(np.asarray(t_b)[hb], np.asarray(t_p)[hb], rtol=1e-5)
+
+
+def test_padding_and_tmax():
+    # non-multiple-of-tile ray count + per-lane tmax
+    tris, o, d = random_scene_rays(100, 700, 3)
+    pc = pack_clusters(tris)
+    tmax = jnp.full((700,), 4.0)
+    t_b, p_b, _, _, h_b = intersect_bruteforce(tris, o, d, 1e-3, tmax=tmax)
+    t_p, p_p, _, _, h_p = intersect_pallas(pc, o, d, 1e-3, tmax=tmax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_p))
+
+
+def test_any_hit_mode():
+    tris, o, d = random_scene_rays(200, RAY_TILE, 4)
+    pc = pack_clusters(tris)
+    _, _, _, _, h_b = intersect_bruteforce(tris, o, d, 1e-3)
+    _, _, _, _, h_p = intersect_pallas(pc, o, d, 1e-3, any_hit=True, interpret=True)
+    # any-hit finds a hit iff closest-hit does
+    np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_p))
