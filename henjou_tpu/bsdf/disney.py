@@ -121,9 +121,16 @@ def _specular_f0(p: DisneyParams, wi, wm, lut: Optional[jnp.ndarray]):
 
 
 def disney_eval(
-    p: DisneyParams, wo, wi, lut: Optional[jnp.ndarray] = None
+    p: DisneyParams,
+    wo,
+    wi,
+    lut: Optional[jnp.ndarray] = None,
+    has_sheen: bool = True,
+    has_clearcoat: bool = True,
 ) -> jnp.ndarray:
-    """disneyBRDF.h:179-235."""
+    """disneyBRDF.h:179-235. has_sheen/has_clearcoat are STATIC scene facts
+    (any material with a nonzero factor?) so zero-weight terms compile out
+    — lockstep lanes pay for every compiled term."""
     wm = normalize(wo + wi)
     dot_wi_n = jnp.abs(wi[..., 1])
     dot_wo_n = jnp.abs(wo[..., 1])
@@ -149,24 +156,25 @@ def disney_eval(
         0.25 * (d * g2 / jnp.maximum(dot_wo_n * dot_wi_n, 1e-9))[..., None] * f
     )
 
-    delta = jnp.maximum(1.0 - cosine_d, 0.0)
-    f_sheen = (p.sheen * delta**5)[..., None] * jnp.ones_like(p.basecolor)
-
-    ccd = _clearcoat_d(wm, _CLEARCOAT_ALPHA)
-    ccg = _clearcoat_g2(wi, wo, 0.25)
-    ccf = schlick_fresnel(jnp.full_like(f0, 0.04), wo, wm)
-    f_clearcoat = (
-        0.25  # the 0.25 inside clearcoat() (disneyBRDF.h:142-150)
-        * (ccd * ccg / jnp.maximum(dot_wo_n * dot_wi_n, 1e-9))[..., None]
-        * ccf
-    ) * 0.25  # the extra 0.25 at the call site (disneyBRDF.h:229)
-
     diffuse_blend = lerp(f_diffuse, f_subsurface, p.subsurface[..., None])
-    return (
-        (diffuse_blend + f_sheen) * (1.0 - p.metallic[..., None])
-        + f_specular
-        + f_clearcoat * p.clearcoat[..., None]
-    )
+    out = diffuse_blend * (1.0 - p.metallic[..., None]) + f_specular
+
+    if has_sheen:
+        delta = jnp.maximum(1.0 - cosine_d, 0.0)
+        f_sheen = (p.sheen * delta**5)[..., None] * jnp.ones_like(p.basecolor)
+        out = out + f_sheen * (1.0 - p.metallic[..., None])
+
+    if has_clearcoat:
+        ccd = _clearcoat_d(wm, _CLEARCOAT_ALPHA)
+        ccg = _clearcoat_g2(wi, wo, 0.25)
+        ccf = schlick_fresnel(jnp.full_like(f0, 0.04), wo, wm)
+        f_clearcoat = (
+            0.25  # the 0.25 inside clearcoat() (disneyBRDF.h:142-150)
+            * (ccd * ccg / jnp.maximum(dot_wo_n * dot_wi_n, 1e-9))[..., None]
+            * ccf
+        ) * 0.25  # the extra 0.25 at the call site (disneyBRDF.h:229)
+        out = out + f_clearcoat * p.clearcoat[..., None]
+    return out
 
 
 def _lobe_weights(p: DisneyParams):
@@ -199,40 +207,38 @@ def _sample_clearcoat_wm(xi):
 
 
 def disney_sample(
-    p: DisneyParams, wo, state: CMJState, lut: Optional[jnp.ndarray] = None
+    p: DisneyParams,
+    wo,
+    state: CMJState,
+    lut: Optional[jnp.ndarray] = None,
+    has_sheen: bool = True,
+    has_clearcoat: bool = True,
 ):
-    """3-lobe mixture sampling (disneyBRDF.h:237-307). Branch-free: every
-    lane evaluates all lobe candidates, then selects — RNG consumption (one
+    """Lobe-mixture sampling (disneyBRDF.h:237-307). Branch-free: every
+    lane evaluates the lobe candidates, then selects — RNG consumption (one
     1D + one 2D draw) is identical across lanes and branches, matching the
-    reference stream. Returns (bsdf[R,3], wi[R,3], pdf[R], state)."""
-    dw, sw, cw = _lobe_weights(p)
+    reference stream. The clearcoat SAMPLING branch is statically dead in
+    the reference (clearcoatWeight = 0, disneyBRDF.h:241, so dw+sw = 1 and
+    select_p never reaches it) and is omitted here.
+    Returns (bsdf[R,3], wi[R,3], pdf[R], state)."""
+    dw, sw, _cw = _lobe_weights(p)
     select_p, state = cmj_1d(state)
     xi, state = cmj_2d(state)
 
-    # candidates
     wi_diff = _sample_diffuse(xi)
     wm_spec = sample_visible_normal(xi, wo, p.alpha)
     wi_spec = reflect(-wo, wm_spec)
-    wm_cc = _sample_clearcoat_wm(xi)
-    wi_cc = reflect(-wo, wm_cc)
 
     take_diffuse = select_p < dw
-    take_specular = (~take_diffuse) & (select_p < dw + sw)
-
-    wi = jnp.where(
-        take_diffuse[..., None],
-        wi_diff,
-        jnp.where(take_specular[..., None], wi_spec, wi_cc),
-    )
+    wi = jnp.where(take_diffuse[..., None], wi_diff, wi_spec)
     wm = normalize(wo + wi)
 
     pdf_d = _pdf_diffuse(wi)
     pdf_s = _pdf_specular(wm, wo, p.alpha)
-    pdf_c = _pdf_clearcoat(wm, wo)
-    pdf = dw * pdf_d + sw * pdf_s + cw * pdf_c
+    pdf = dw * pdf_d + sw * pdf_s
 
     below = wi[..., 1] < 0.0
-    bsdf = disney_eval(p, wo, wi, lut)
+    bsdf = disney_eval(p, wo, wi, lut, has_sheen, has_clearcoat)
     bsdf = jnp.where(below[..., None], 0.0, bsdf)
     pdf = jnp.where(below, 1.0, pdf)
     return bsdf, wi, pdf, state

@@ -19,8 +19,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# 5x5 B3-spline kernel (separable weights 1/16,1/4,3/8,1/4,1/16)
-_H = jnp.asarray([1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16])
+# 5x5 B3-spline kernel (separable weights 1/16,1/4,3/8,1/4,1/16);
+# python floats so they fold into the trace as constants
+_H = (1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16)
 
 
 def _shift2d(img, dy, dx):
@@ -52,7 +53,7 @@ def denoise_atrous(
             for kx in range(5):
                 dy = (ky - 2) * step
                 dx = (kx - 2) * step
-                w_k = float(_H[ky] * _H[kx])
+                w_k = _H[ky] * _H[kx]
                 c_s = _shift2d(out, dy, dx)
                 a_s = _shift2d(albedo, dy, dx)
                 n_s = _shift2d(normal, dy, dx)

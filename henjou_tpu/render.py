@@ -22,7 +22,24 @@ def main(argv=None):
     ap.add_argument("--spp", type=int, help="override max_spp")
     ap.add_argument("--size", type=str, help="override WxH, e.g. 512x512")
     ap.add_argument("--out", type=str, help="override image_name")
+    ap.add_argument(
+        "--profile",
+        type=str,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the render into DIR "
+        "(view with TensorBoard / Perfetto)",
+    )
+    ap.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="enable jax_debug_nans (fail fast on NaN in any kernel)",
+    )
     args = ap.parse_args(argv)
+
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     import dataclasses
 
@@ -61,7 +78,14 @@ def main(argv=None):
     if overrides:
         r.option = dataclasses.replace(r.option, **overrides)
 
-    written = r.initialize_and_render()
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            written = r.initialize_and_render()
+        print("profile trace written to", args.profile)
+    else:
+        written = r.initialize_and_render()
     print("wrote:", ", ".join(written))
     return 0
 

@@ -111,6 +111,19 @@ def load_render_option(filepath: str) -> RenderOption:
             fps = override
             break
 
+    # config snapshot side-channel (render_json_loader.h:204-218)
+    if bool(opt.get("save_renderOption", False)):
+        import time as _time
+
+        stamp = _time.strftime("%a %b %d %H%M%S %Y")
+        snap = f"renderoption{stamp}.json"
+        try:
+            with open(snap, "w") as f:
+                json.dump(j, f, indent=2)
+            log.info("render option snapshot saved: %s", snap)
+        except OSError as e:
+            log.warning("could not save render option snapshot: %s", e)
+
     return RenderOption(
         image_width=int(img["image_width"]),
         image_height=int(img["image_height"]),

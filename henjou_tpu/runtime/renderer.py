@@ -141,11 +141,31 @@ class Renderer:
         if self.bsdf_sample is None:
             from henjou_tpu.bsdf.dispatch import make_bsdf_sampler
 
-            self.bsdf_sample = make_bsdf_sampler(self.lut)
+            # static scene facts specialize the dispatch (lockstep lanes pay
+            # for every compiled lobe, so drop the unused ones)
+            mats = self.scene.materials
+            has_specular = any(m["ideal_specular"] for m in mats)
+            has_metal = any(
+                m["metallic"] > 0.5 or m["metallic_tex"] >= 0 for m in mats
+            )
+            has_sheen = any(m["sheen"] > 0 for m in mats)
+            has_clearcoat = any(m["clearcoat"] > 0 for m in mats)
+            has_thinfilm = any(m["is_thinfilm"] for m in mats)
+            # no thin-film material -> skip the per-bounce LUT gathers
+            lut = self.lut if has_thinfilm else None
+            self._bsdf_flags = dict(
+                has_sheen=has_sheen, has_clearcoat=has_clearcoat
+            )
+            self._dispatch_lut = lut
+            self.bsdf_sample = make_bsdf_sampler(
+                lut, has_specular=has_specular, has_metal=has_metal,
+                has_sheen=has_sheen, has_clearcoat=has_clearcoat,
+            )
         from henjou_tpu.bsdf.dispatch import bsdf_eval, bsdf_pdf
 
-        lut = self.lut
-        self.bsdf_eval = lambda hit, wo, wi: bsdf_eval(hit, wo, wi, lut)
+        _lut = getattr(self, "_dispatch_lut", self.lut)
+        _flags = getattr(self, "_bsdf_flags", {})
+        self.bsdf_eval = lambda hit, wo, wi: bsdf_eval(hit, wo, wi, _lut, **_flags)
         self.bsdf_pdf = bsdf_pdf
         self._step = self._make_step()
         self._frame_build = jax.jit(build_frame_scene)
