@@ -25,7 +25,10 @@ BASELINE_MRAYS = 150.0
 
 
 def main():
-    from henjou_tpu.accel.pallas_cluster import make_pallas_intersector, pack_clusters
+    from henjou_tpu.accel.pallas_cluster_hbm import (
+        make_pallas_hbm_intersector as make_pallas_intersector,
+        pack_clusters_hbm as pack_clusters,
+    )
     from henjou_tpu.integrator.mis import mis
     from henjou_tpu.integrator.payload import Sky
     from henjou_tpu.runtime.camera import camera_rays, make_camera

@@ -204,8 +204,9 @@ def _kernel(
             tt = jnp.where(ok, tt, _BIG)
             bt_k = jnp.min(tt, axis=1, keepdims=True)  # [RT,1]
             hit_any = bt_k < best_t
-            is_best = tt == bt_k
-            k_best = jnp.min(jnp.where(is_best, k_iota, K), axis=1, keepdims=True)
+            # integer argmin: float equality against the reduced min can
+            # miss on TPU (reduction vs elementwise rounding)
+            k_best = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
             pick = k_iota == k_best
             prim_k = jnp.sum(jnp.where(pick, ordr, 0), axis=1, keepdims=True)
             u_k = jnp.sum(jnp.where(pick, uu, 0.0), axis=1, keepdims=True)

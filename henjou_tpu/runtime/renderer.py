@@ -170,7 +170,7 @@ class Renderer:
         self._step = self._make_step()
         self._frame_build = jax.jit(build_frame_scene)
         from henjou_tpu.accel.lbvh import build_lbvh
-        from henjou_tpu.accel.pallas_cluster import pack_clusters
+        from henjou_tpu.accel.pallas_cluster_hbm import pack_clusters_hbm_np
 
         # On the experimental TPU platform, jitting the accel builds
         # miscompiles the sort+gather pipeline (verified: jitted
@@ -179,24 +179,12 @@ class Renderer:
         # build is tiny next to HBM bandwidth.
         if jax.devices()[0].platform == "cpu":
             self._bvh_build = jax.jit(build_lbvh)
-            self._pack_build = jax.jit(pack_clusters)
         else:
-            cpu = jax.devices("cpu")[0]
-            tpu = jax.devices()[0]
-
-            def on_cpu_then_transfer(fn):
-                jfn = jax.jit(fn)
-
-                def build(tri_verts):
-                    host = jax.device_put(tri_verts, cpu)
-                    with jax.default_device(cpu):
-                        out = jfn(host)
-                    return jax.device_put(jax.block_until_ready(out), tpu)
-
-                return build
-
-            self._bvh_build = on_cpu_then_transfer(build_lbvh)
-            self._pack_build = on_cpu_then_transfer(pack_clusters)
+            # the TPU platform miscompiles the jitted sort+gather build and
+            # eager dispatch there costs seconds/op; LBVH (CPU-only path
+            # anyway) stays jax, the Pallas pack is pure numpy
+            self._bvh_build = build_lbvh
+        self._pack_build = lambda tv: pack_clusters_hbm_np(np.asarray(tv))
         return self
 
     # VMEM budget for keeping the whole packed cluster set on-chip in the
@@ -205,16 +193,14 @@ class Renderer:
 
     def _select_accel(self, frame_scene):
         """Pick the intersector for this frame: brute force for tiny
-        scenes; the fused Pallas packet/cluster kernel on TPU when the
-        scene fits VMEM; LBVH traversal otherwise (and on CPU)."""
+        scenes; the two-level HBM Pallas packet/cluster kernel on TPU;
+        LBVH traversal on CPU."""
         ntris = int(frame_scene.tri_verts.shape[0])
         if ntris <= 256:
             return None
         platform = jax.devices()[0].platform
         if platform != "cpu":
-            pc = self._pack_build(frame_scene.tri_verts)
-            if pc.vmem_bytes <= self.PALLAS_VMEM_BUDGET:
-                return pc
+            return self._pack_build(frame_scene.tri_verts)
         return self._bvh_build(frame_scene.tri_verts)
 
     @staticmethod
@@ -225,7 +211,13 @@ class Renderer:
             PackedClusters,
             make_pallas_intersector,
         )
+        from henjou_tpu.accel.pallas_cluster_hbm import (
+            HbmClusters,
+            make_pallas_hbm_intersector,
+        )
 
+        if isinstance(accel, HbmClusters):
+            return make_pallas_hbm_intersector(accel)
         if isinstance(accel, PackedClusters):
             return make_pallas_intersector(accel)
         from henjou_tpu.accel.traverse import make_bvh_intersector

@@ -61,3 +61,40 @@ def test_any_hit_mode():
     _, _, _, _, h_p = intersect_pallas(pc, o, d, 1e-3, any_hit=True, interpret=True)
     # any-hit finds a hit iff closest-hit does
     np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_p))
+
+
+# ---------------- two-level HBM variant ----------------
+
+
+def test_hbm_matches_bruteforce_interpret():
+    from henjou_tpu.accel.pallas_cluster_hbm import (
+        RAY_TILE as RT_HBM,
+        intersect_pallas_hbm,
+        pack_clusters_hbm,
+    )
+
+    for ntri, nray, seed in ((50, RT_HBM, 5), (3000, 2 * RT_HBM + 37, 6)):
+        tris, o, d = random_scene_rays(ntri, nray, seed)
+        hc = pack_clusters_hbm(tris)
+        t_b, p_b, _, _, h_b = intersect_bruteforce(tris, o, d, 1e-3)
+        t_p, p_p, _, _, h_p = intersect_pallas_hbm(hc, o, d, 1e-3, interpret=True)
+        np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_p))
+        hb = np.asarray(h_b)
+        np.testing.assert_array_equal(np.asarray(p_b)[hb], np.asarray(p_p)[hb])
+        np.testing.assert_allclose(np.asarray(t_b)[hb], np.asarray(t_p)[hb], rtol=1e-5)
+
+
+def test_hbm_any_hit_and_tmax():
+    from henjou_tpu.accel.pallas_cluster_hbm import (
+        intersect_pallas_hbm,
+        pack_clusters_hbm,
+    )
+
+    tris, o, d = random_scene_rays(400, 512, 7)
+    hc = pack_clusters_hbm(tris)
+    tmax = jnp.full((512,), 4.0)
+    _, _, _, _, h_b = intersect_bruteforce(tris, o, d, 1e-3, tmax=tmax)
+    _, _, _, _, h_p = intersect_pallas_hbm(
+        hc, o, d, 1e-3, tmax=tmax, any_hit=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_p))
