@@ -54,6 +54,7 @@ def wavefront_pathtrace(
     max_depth: int = MAX_DEPTH,
     intersect_fn=None,
     max_iters: Optional[int] = None,
+    spp_offset=0,
 ) -> WavefrontFilm:
     """Render width*height pixels at `spp` samples with a `lanes`-wide
     pool. Returns per-pixel SUMS (divide by spp outside). Jittable; all
@@ -76,7 +77,7 @@ def wavefront_pathtrace(
         """sample_id -> fresh path state. Pixel-major assignment:
         sample s -> (pixel = s % P, spp_idx = s // P)."""
         pix = (sample_ids % n_pixels).astype(jnp.uint32)
-        spp_idx = (sample_ids // n_pixels).astype(jnp.uint32)
+        spp_idx = (sample_ids // n_pixels).astype(jnp.uint32) + jnp.uint32(spp_offset)
         st = make_cmj_state(spp_idx, pix, seed)
         o, d, st = camera_rays(cam, width, height, pix, st)
         return pix, o, d, st
@@ -111,7 +112,8 @@ def wavefront_pathtrace(
         thr=jnp.ones((lanes, 3), jnp.float32) + (o0 + d0)[:, :1] * 0.0,
         lte=(o0 + d0) * 0.0,
         depth=jnp.zeros((lanes,), jnp.int32) + (o0[:, 0] * 0).astype(jnp.int32),
-        valid=jnp.ones((lanes,), jnp.bool_) & ((o0[:, 0] * 0) == 0),
+        # a pool wider than the total work starts partially idle
+        valid=(lane_ids < total_samples) & ((o0[:, 0] * 0) == 0),
         it=jnp.zeros((), jnp.int32),
     )
 

@@ -424,6 +424,17 @@ class Renderer:
                 spp_done = int(ck["spp_done"])
                 log.info("resumed frame %d at %d spp from %s", frame, spp_done, checkpoint_path)
 
+        if self.option.engine == "wavefront" and self.integrator == "pathtrace":
+            return self._render_frame_wavefront(
+                frame_scene, accel, cam, width, height, frame,
+                deadline=deadline,
+            )
+        if self.option.engine == "wavefront":
+            log.warning(
+                "wavefront engine implements pathtrace only; using the "
+                "masked loop for integrator %s", self.integrator,
+            )
+
         if self.closure_mode:
             key = (frame, width, height)
             if self._closure_cache.get("key") != key:
@@ -506,6 +517,56 @@ class Renderer:
             "spp_done": spp_done,
         }
         return out
+
+    def _render_frame_wavefront(
+        self, frame_scene, accel, cam, width, height, frame, deadline=None
+    ) -> dict:
+        """Persistent-lane wavefront execution (integrator/wavefront.py):
+        lanes refill with fresh (pixel, spp) samples the moment a path
+        terminates, so occupancy stays ~100% instead of decaying with
+        depth as in the masked loop."""
+        from henjou_tpu.integrator.wavefront import wavefront_pathtrace
+
+        opt = self.option
+        intersect_fn, _ = Renderer._accel_adapters(accel)
+        bsdf_sample = self.bsdf_sample
+        sky = self.sky
+
+        @functools.partial(jax.jit, static_argnames=("spp",))
+        def wf_step(spp_offset, spp: int):
+            return wavefront_pathtrace(
+                frame_scene, sky, cam, width, height, spp, bsdf_sample,
+                seed=opt.seed + frame, intersect_fn=intersect_fn,
+                spp_offset=spp_offset,
+            )
+
+        n = width * height
+        color = np.zeros((n, 3), np.float32)
+        albedo = np.zeros((n, 3), np.float32)
+        normal = np.zeros((n, 3), np.float32)
+        spp_done = 0
+        batch = max(1, opt.spp_batch)
+        t0 = time.monotonic()
+        while spp_done < opt.max_spp:
+            cur = min(batch, opt.max_spp - spp_done)
+            film = wf_step(jnp.uint32(spp_done), spp=cur)
+            color += np.asarray(film.color)
+            albedo += np.asarray(film.albedo)
+            normal += np.asarray(film.normal)
+            spp_done += cur
+            if deadline is not None and time.monotonic() - t0 > deadline:
+                log.warning(
+                    "frame %d: deadline hit at %d/%d spp",
+                    frame, spp_done, opt.max_spp,
+                )
+                break
+        inv = 1.0 / max(spp_done, 1)
+        return {
+            "color": (color * inv).reshape(height, width, 3),
+            "albedo": (albedo * inv).reshape(height, width, 3),
+            "normal": (normal * inv).reshape(height, width, 3),
+            "spp_done": spp_done,
+        }
 
     def render_debug(self, frame: int) -> dict:
         """Debug render mode (render_option.h:42): first-hit

@@ -61,3 +61,30 @@ def test_wavefront_aovs_accumulate_once_per_sample():
     albedo = np.asarray(film.albedo) / spp
     # center pixel looks at the white back wall
     assert np.allclose(albedo.reshape(8, 8, 3)[4, 4], [0.8, 0.8, 0.8], atol=0.05)
+
+
+def test_renderer_wavefront_engine_matches_masked():
+    import dataclasses
+
+    from henjou_tpu.runtime.options import RenderOption
+    from henjou_tpu.runtime.renderer import Renderer
+    from henjou_tpu.scene.testscenes import cornell_box_scene
+
+    opt = RenderOption(
+        image_width=16,
+        image_height=16,
+        max_spp=4,
+        spp_batch=4,
+        camera_position=(0.0, 0.0, -4.5),
+        camera_direction=(0.0, 0.0, 1.0),
+        integrator="pathtrace",
+    )
+    imgs = {}
+    for engine in ("masked", "wavefront"):
+        r = Renderer(option=dataclasses.replace(opt, engine=engine))
+        r.set_scene(cornell_box_scene())
+        r.build()
+        imgs[engine] = r.render_frame(0)["color"]
+    np.testing.assert_allclose(
+        imgs["wavefront"], imgs["masked"], rtol=1e-4, atol=1e-5
+    )
