@@ -74,8 +74,6 @@ def pack_clusters_hbm(tri_verts: jnp.ndarray) -> HbmClusters:
     )
     rows = rows.reshape(-1, K)  # [C*16, K]
 
-    if not cpad:
-        rows = rows.reshape(-1, K)  # [C*10, K]
     # cluster AABBs padded out to the supercluster multiple (never hit)
     need = c2 * SC
     cp_old = pc.aabb.shape[1]

@@ -27,7 +27,7 @@ from henjou_tpu.bsdf.dispatch import bsdf_pdf as default_bsdf_pdf
 from henjou_tpu.bsdf.dispatch import bsdf_sample as default_bsdf_sample
 from henjou_tpu.integrator.pathtrace import MAX_DEPTH, PathtraceResult
 from henjou_tpu.integrator.payload import Sky, closest_hit, occluded
-from henjou_tpu.math.constants import EPS_RAY, TMAX_RAY
+from henjou_tpu.math.constants import EPS_RAY, SHADOW_EPS_REL, TMAX_RAY
 from henjou_tpu.math.vec import (
     absdot,
     dot,
@@ -55,17 +55,17 @@ def mis(
     intersect_fn=None,
     occluded_fn=None,
 ) -> PathtraceResult:
-    r = ray_o.shape[0]
     # ray-derived zeros: see accel/traverse.py shard_map carry note
     zero3 = (ray_o + ray_d) * 0.0
 
     def body(depth, carry):
-        lte, thr, o, d, st, alive, aov_a, aov_n = carry
+        lte, thr, o, d, st, alive, aov_a, aov_n, n_tr = carry
 
         u_rr, st = cmj_1d(st)
         russian_p = jnp.max(thr, axis=-1)
         alive = alive & (russian_p >= u_rr)
         thr = thr / jnp.maximum(russian_p, 1e-12)[:, None]
+        n_tr = n_tr + jnp.sum(alive.astype(jnp.float32))  # radiance trace
 
         lane_tmax = jnp.where(alive, TMAX_RAY, 0.0)  # dead-lane gating
         hit = closest_hit(frame, sky, o, d, EPS_RAY, lane_tmax, intersect_fn)
@@ -78,6 +78,8 @@ def mis(
         add = alive & terminal & first
         lte = lte + jnp.where(add[:, None], thr * hit.emission, 0.0)
         alive = alive & ~terminal
+        # shadow + bsdf-branch traces (rt.h:356,396)
+        n_tr = n_tr + 2.0 * jnp.sum(alive.astype(jnp.float32))
 
         n = hit.normal
         t, b = orthonormal_basis(n)
@@ -90,7 +92,7 @@ def mis(
         l_dir = to_light / l_dist[:, None]
         shadow_blocked = occluded(
             frame, hit.position, l_dir, EPS_RAY,
-            jnp.where(alive, l_dist - 1e-3, 0.0), occluded_fn
+            jnp.where(alive, l_dist * (1.0 - SHADOW_EPS_REL), 0.0), occluded_fn
         )
         cos1 = absdot(n, l_dir)
         cos2 = absdot(l_normal, -l_dir)
@@ -149,7 +151,7 @@ def mis(
         thr = jnp.where(alive[:, None], thr * weight, thr)
         o = jnp.where(alive[:, None], hit.position, o)
         d = jnp.where(alive[:, None], wi_c, d)
-        return (lte, thr, o, d, st, alive, aov_a, aov_n)
+        return (lte, thr, o, d, st, alive, aov_a, aov_n, n_tr)
 
     init = (
         zero3,
@@ -160,6 +162,11 @@ def mis(
         zero3[:, 0] == 0.0,
         zero3,
         zero3,
+        jnp.sum(zero3[:, 0]),
     )
-    lte, _, _, _, _, _, aov_a, aov_n = jax.lax.fori_loop(0, max_depth, body, init)
-    return PathtraceResult(lte=lte, aov_albedo=aov_a, aov_normal=aov_n)
+    lte, _, _, _, _, _, aov_a, aov_n, n_tr = jax.lax.fori_loop(
+        0, max_depth, body, init
+    )
+    return PathtraceResult(
+        lte=lte, aov_albedo=aov_a, aov_normal=aov_n, n_traces=n_tr
+    )

@@ -20,7 +20,7 @@ from henjou_tpu.bsdf.dispatch import bsdf_eval as default_bsdf_eval
 from henjou_tpu.bsdf.dispatch import bsdf_sample as default_bsdf_sample
 from henjou_tpu.integrator.pathtrace import MAX_DEPTH, PathtraceResult
 from henjou_tpu.integrator.payload import Sky, closest_hit, occluded
-from henjou_tpu.math.constants import EPS_RAY, TMAX_RAY
+from henjou_tpu.math.constants import EPS_RAY, SHADOW_EPS_REL, TMAX_RAY
 from henjou_tpu.math.vec import (
     absdot,
     dot,
@@ -52,12 +52,13 @@ def nee(
     zero3 = (ray_o + ray_d) * 0.0
 
     def body(depth, carry):
-        lte, thr, o, d, st, alive, aov_a, aov_n = carry
+        lte, thr, o, d, st, alive, aov_a, aov_n, n_tr = carry
 
         u_rr, st = cmj_1d(st)
         russian_p = jnp.max(thr, axis=-1)
         alive = alive & (russian_p >= u_rr)
         thr = thr / jnp.maximum(russian_p, 1e-12)[:, None]
+        n_tr = n_tr + jnp.sum(alive.astype(jnp.float32))  # radiance trace
 
         lane_tmax = jnp.where(alive, TMAX_RAY, 0.0)  # dead-lane gating
         hit = closest_hit(frame, sky, o, d, EPS_RAY, lane_tmax, intersect_fn)
@@ -71,6 +72,7 @@ def nee(
         add = alive & terminal & first
         lte = lte + jnp.where(add[:, None], thr * hit.emission, 0.0)
         alive = alive & ~terminal
+        n_tr = n_tr + jnp.sum(alive.astype(jnp.float32))  # shadow trace
 
         n = hit.normal
         t, b = orthonormal_basis(n)
@@ -83,7 +85,7 @@ def nee(
         l_dir = to_light / l_dist[:, None]
         shadow_blocked = occluded(
             frame, hit.position, l_dir, EPS_RAY,
-            jnp.where(alive, l_dist - 1e-3, 0.0), occluded_fn
+            jnp.where(alive, l_dist * (1.0 - SHADOW_EPS_REL), 0.0), occluded_fn
         )
         cos1 = absdot(n, l_dir)
         cos2 = absdot(l_normal, -l_dir)
@@ -102,7 +104,7 @@ def nee(
         thr = jnp.where(alive[:, None], thr * weight, thr)
         o = jnp.where(alive[:, None], hit.position, o)
         d = jnp.where(alive[:, None], wi, d)
-        return (lte, thr, o, d, st, alive, aov_a, aov_n)
+        return (lte, thr, o, d, st, alive, aov_a, aov_n, n_tr)
 
     init = (
         zero3,
@@ -113,6 +115,11 @@ def nee(
         zero3[:, 0] == 0.0,
         zero3,
         zero3,
+        jnp.sum(zero3[:, 0]),
     )
-    lte, _, _, _, _, _, aov_a, aov_n = jax.lax.fori_loop(0, max_depth, body, init)
-    return PathtraceResult(lte=lte, aov_albedo=aov_a, aov_normal=aov_n)
+    lte, _, _, _, _, _, aov_a, aov_n, n_tr = jax.lax.fori_loop(
+        0, max_depth, body, init
+    )
+    return PathtraceResult(
+        lte=lte, aov_albedo=aov_a, aov_normal=aov_n, n_traces=n_tr
+    )

@@ -38,6 +38,10 @@ class PathtraceResult(NamedTuple):
     lte: jnp.ndarray  # [R,3] radiance estimate
     aov_albedo: jnp.ndarray  # [R,3] first-hit basecolor
     aov_normal: jnp.ndarray  # [R,3] first-hit shading normal
+    # scalar f32: traces a SIMT megakernel would have issued for this batch
+    # (radiance per live lane; +shadow +bsdf-branch in NEE/MIS) — the honest
+    # Mrays/s numerator (bench.py counts these, not an assumed depth)
+    n_traces: jnp.ndarray = None
 
 
 def pathtrace(
@@ -56,7 +60,7 @@ def pathtrace(
     zero3 = (ray_o + ray_d) * 0.0
 
     def body(depth, carry):
-        lte, thr, o, d, st, alive, aov_a, aov_n = carry
+        lte, thr, o, d, st, alive, aov_a, aov_n, n_tr = carry
 
         # Russian roulette on max throughput (rt.h:96-102); the sample is
         # drawn before the trace, matching the reference stream order.
@@ -65,6 +69,7 @@ def pathtrace(
         survive = russian_p >= u_rr
         alive = alive & survive
         thr = thr / jnp.maximum(russian_p, 1e-12)[:, None]
+        n_tr = n_tr + jnp.sum(alive.astype(jnp.float32))  # radiance trace
 
         # dead lanes trace with tmax=0: the intersector's skip test then
         # eliminates their work entirely (results are masked anyway)
@@ -92,7 +97,7 @@ def pathtrace(
         thr = jnp.where(alive[:, None], thr * weight, thr)
         o = jnp.where(alive[:, None], hit.position, o)
         d = jnp.where(alive[:, None], wi, d)
-        return (lte, thr, o, d, st, alive, aov_a, aov_n)
+        return (lte, thr, o, d, st, alive, aov_a, aov_n, n_tr)
 
     init = (
         zero3,
@@ -103,6 +108,11 @@ def pathtrace(
         zero3[:, 0] == 0.0,
         zero3,
         zero3,
+        jnp.sum(zero3[:, 0]),
     )
-    lte, _, _, _, _, _, aov_a, aov_n = jax.lax.fori_loop(0, max_depth, body, init)
-    return PathtraceResult(lte=lte, aov_albedo=aov_a, aov_normal=aov_n)
+    lte, _, _, _, _, _, aov_a, aov_n, n_tr = jax.lax.fori_loop(
+        0, max_depth, body, init
+    )
+    return PathtraceResult(
+        lte=lte, aov_albedo=aov_a, aov_normal=aov_n, n_traces=n_tr
+    )

@@ -103,8 +103,7 @@ def wavefront_pathtrace(
 
     carry0 = Carry(
         film=film,
-        counter=jnp.asarray(lanes, jnp.int64 if False else jnp.int32)
-        * 0 + lanes,
+        counter=jnp.asarray(lanes, jnp.int32),
         pix=pix0,
         o=o0,
         d=d0,

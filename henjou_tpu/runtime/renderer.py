@@ -612,6 +612,12 @@ class Renderer:
         opt = self.option
         budget_s = opt.time_limit * 60.0
 
+        # use_date: date-stamp the output names. (In the reference the
+        # flag's `data` string is computed but dead — renderer.h:1085-1087
+        # never reaches the filename at :1301; we implement the evident
+        # intent so runs don't overwrite each other.)
+        stamp = time.strftime("%Y%m%d-%H%M%S") + "_" if opt.use_date else ""
+
         written = []
         for frame in range(opt.start_frame, opt.end_frame):
             t0 = time.monotonic()
@@ -624,7 +630,7 @@ class Renderer:
                     if img.shape[-1] == 2:
                         img = np.concatenate([img, np.zeros_like(img[..., :1])], -1)
                     u8 = np.asarray(float_to_srgb_u8(jnp.asarray(np.abs(img))))
-                    name = f"{opt.image_name}_{key}_{frame:03d}.png"
+                    name = f"{stamp}{opt.image_name}_{key}_{frame:03d}.png"
                     path = os.path.join(opt.image_directory, name)
                     write_png(path, u8)
                     written.append(path)
@@ -642,7 +648,7 @@ class Renderer:
                 os.remove(ckpt)  # frame complete
             img = self._finalize(aovs)
             u8 = np.asarray(float_to_srgb_u8(jnp.asarray(img)))
-            name = f"{opt.image_name}_{frame:03d}.png"  # renderer.h:1291-1301
+            name = f"{stamp}{opt.image_name}_{frame:03d}.png"  # renderer.h:1291-1301
             path = os.path.join(opt.image_directory, name)
             write_png(path, u8)
             written.append(path)

@@ -106,6 +106,35 @@ def test_obj_mesh_end_to_end(tmp_path):
     assert img[12, 12].mean() > 0.85
 
 
+def test_use_date_stamps_output_names(tmp_path):
+    """use_date=true prefixes output PNGs with a run timestamp. (In the
+    reference the flag's `data` string is dead, renderer.h:1085-1087; we
+    implement the evident intent.)"""
+    import dataclasses
+    import re
+
+    from henjou_tpu.runtime.options import RenderOption
+    from henjou_tpu.runtime.renderer import Renderer
+    from henjou_tpu.scene.testscenes import cornell_box_scene
+
+    r = Renderer(
+        option=RenderOption(
+            image_width=8, image_height=8, max_spp=1, spp_batch=1,
+            camera_position=(0.0, 0.0, -4.5),
+            camera_direction=(0.0, 0.0, 1.0),
+            scene_sky_default=(0.0, 0.0, 0.0),
+            integrator="pathtrace",
+            image_directory=str(tmp_path), image_name="dated",
+            use_date=True,
+        )
+    )
+    r.set_scene(cornell_box_scene())
+    r.build()
+    written = r.initialize_and_render()
+    base = os.path.basename(written[0])
+    assert re.match(r"^\d{8}-\d{6}_dated_000\.png$", base), base
+
+
 def test_glass_scene_routes_specular():
     """ideal_specular material in a scene: rays refract through (cornell
     with a glass panel gets light through it)."""

@@ -120,9 +120,13 @@ def test_golden_cornell_regression():
     img = r.render_frame(0)["color"]
     u8 = np.asarray(float_to_srgb_u8(jnp.asarray(img)))
     golden_path = os.path.join(ROOT, "tests", "golden", "cornell_48_mis16.png")
-    if not os.path.exists(golden_path):
+    if os.environ.get("HENJOU_REGEN_GOLDEN") == "1":
         os.makedirs(os.path.dirname(golden_path), exist_ok=True)
         write_png(golden_path, u8)
+    # The golden is PINNED (checked in). A missing golden is a failure, not
+    # an invitation to self-bless a possibly-broken tree
+    # (regenerate deliberately with HENJOU_REGEN_GOLDEN=1).
+    assert os.path.exists(golden_path), "pinned golden image missing"
     golden = read_png(golden_path)[..., :3]
     rmse = np.sqrt(((u8.astype(np.float32) - golden.astype(np.float32)) ** 2).mean())
     assert rmse < 2.0, f"golden mismatch: RMSE {rmse}"
