@@ -59,8 +59,13 @@ def read_png(path: str) -> np.ndarray:
     truncated to the high byte). Palette images are expanded."""
     with open(path, "rb") as f:
         buf = f.read()
+    return decode_png(buf, name=path)
+
+
+def decode_png(buf: bytes, name: str = "<bytes>") -> np.ndarray:
+    """read_png on an in-memory buffer (GLB bufferView / data-URI images)."""
     if buf[:8] != _MAGIC:
-        raise ValueError(f"not a PNG: {path}")
+        raise ValueError(f"not a PNG: {name}")
     pos = 8
     idat = []
     palette = None

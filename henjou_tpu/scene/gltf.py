@@ -118,20 +118,17 @@ class _Gltf:
         self._buffers[idx] = data
         return data
 
-    def accessor(self, idx: int) -> np.ndarray:
-        """Read accessor idx as [count, ncomp] (or [count] for scalars)."""
-        acc = self.doc["accessors"][idx]
-        if "sparse" in acc:
-            raise NotImplementedError("sparse accessors not supported")
-        dtype = np.dtype(_COMPONENT_DTYPES[acc["componentType"]])
-        ncomp = _TYPE_NCOMP[acc["type"]]
-        count = acc["count"]
-        if "bufferView" not in acc:
-            out = np.zeros((count, ncomp), dtype)
-            return out[:, 0] if ncomp == 1 else out
-        bv = self.doc["bufferViews"][acc["bufferView"]]
+    def buffer_view_bytes(self, bv_idx: int) -> bytes:
+        """Raw bytes of a bufferView (embedded GLB images live here)."""
+        bv = self.doc["bufferViews"][bv_idx]
         buf = self.buffer(bv["buffer"])
-        offset = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        off = bv.get("byteOffset", 0)
+        return buf[off : off + bv["byteLength"]]
+
+    def _read_packed(self, bv_idx: int, byte_offset: int, dtype, ncomp, count):
+        bv = self.doc["bufferViews"][bv_idx]
+        buf = self.buffer(bv["buffer"])
+        offset = bv.get("byteOffset", 0) + byte_offset
         elem_size = dtype.itemsize * ncomp
         stride = bv.get("byteStride", 0) or elem_size
         raw = np.frombuffer(
@@ -140,7 +137,35 @@ class _Gltf:
         strided = np.lib.stride_tricks.as_strided(
             raw, shape=(count, elem_size), strides=(stride, 1)
         )
-        out = np.ascontiguousarray(strided).view(dtype).reshape(count, ncomp)
+        return np.ascontiguousarray(strided).view(dtype).reshape(count, ncomp)
+
+    def accessor(self, idx: int) -> np.ndarray:
+        """Read accessor idx as [count, ncomp] (or [count] for scalars),
+        including sparse substitution (glTF 2.0 §3.6.2.3: base values —
+        zeros when no bufferView — overridden at sparse indices)."""
+        acc = self.doc["accessors"][idx]
+        dtype = np.dtype(_COMPONENT_DTYPES[acc["componentType"]])
+        ncomp = _TYPE_NCOMP[acc["type"]]
+        count = acc["count"]
+        if "bufferView" in acc:
+            out = self._read_packed(
+                acc["bufferView"], acc.get("byteOffset", 0), dtype, ncomp, count
+            ).copy()
+        else:
+            out = np.zeros((count, ncomp), dtype)
+        sparse = acc.get("sparse")
+        if sparse:
+            n = sparse["count"]
+            sidx = sparse["indices"]
+            idx_dtype = np.dtype(_COMPONENT_DTYPES[sidx["componentType"]])
+            indices = self._read_packed(
+                sidx["bufferView"], sidx.get("byteOffset", 0), idx_dtype, 1, n
+            ).reshape(-1)
+            sval = sparse["values"]
+            values = self._read_packed(
+                sval["bufferView"], sval.get("byteOffset", 0), dtype, ncomp, n
+            )
+            out[indices.astype(np.int64)] = values
         return out[:, 0] if ncomp == 1 else out
 
 
@@ -151,41 +176,69 @@ def _ext_scalar(extensions: dict, ext_name: str, key: str, default):
     return default
 
 
-def _harvest_material(doc: dict, mat: dict, gltf_dir: str, textures, tex_cache):
-    """One glTF material -> uber material (gltfloader.h:1125-1267)."""
+def _harvest_material(g: "_Gltf", mat: dict, textures, tex_cache):
+    """One glTF material -> uber material (gltfloader.h:1125-1267).
 
-    def tex_uri(tex_index):
-        tex = doc["textures"][tex_index]
-        img = doc["images"][tex["source"]]
-        return img.get("uri")
+    Images resolve from file URIs, data URIs, AND GLB bufferViews — the
+    reference's tinygltf handles all three (gltfloader.h:1068-1125)."""
+    doc = g.doc
+
+    def load_tex(tex_index, tex_type) -> int:
+        img = doc["images"][doc["textures"][tex_index]["source"]]
+        uri = img.get("uri")
+        if uri and not uri.startswith("data:"):
+            return load_texture_cached(textures, tex_cache, uri, g.dir, tex_type)
+        # in-memory image: data URI or GLB bufferView
+        if uri:
+            key = ("datauri", hash(uri), tex_type)
+            raw = base64.b64decode(uri.split(",", 1)[1])
+        elif "bufferView" in img:
+            key = ("bufferview", img["bufferView"], tex_type)
+            raw = None
+        else:
+            return -1
+        if key in tex_cache:
+            return tex_cache[key]
+        if raw is None:
+            raw = g.buffer_view_bytes(img["bufferView"])
+        from henjou_tpu.texture.texture import load_texture_bytes
+
+        try:
+            tex = load_texture_bytes(
+                raw, img.get("name", str(key)), tex_type, img.get("mimeType", "")
+            )
+        except ValueError as e:
+            log.warning("embedded texture load failed: %s", e)
+            tex_cache[key] = -1
+            return -1
+        textures.append(tex)
+        tex_cache[key] = len(textures) - 1
+        return tex_cache[key]
 
     pbr = mat.get("pbrMetallicRoughness", {})
     base_factor = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
 
     base_tex = -1
     if "baseColorTexture" in pbr:
-        uri = tex_uri(pbr["baseColorTexture"]["index"])
-        if uri:
-            base_tex = load_texture_cached(
-                textures, tex_cache, uri, gltf_dir, TexType.SRGB
-            )
+        base_tex = load_tex(pbr["baseColorTexture"]["index"], TexType.SRGB)
 
     roughness = float(pbr.get("roughnessFactor", 1.0))
     rough_tex = -1
     if "metallicRoughnessTexture" in pbr:
-        uri = tex_uri(pbr["metallicRoughnessTexture"]["index"])
-        if uri:
-            rough_tex = load_texture_cached(
-                textures, tex_cache, uri, gltf_dir, TexType.NON_COLOR
-            )
+        rough_tex = load_tex(
+            pbr["metallicRoughnessTexture"]["index"], TexType.NON_COLOR
+        )
 
     normal_tex = -1
     if "normalTexture" in mat:
-        uri = tex_uri(mat["normalTexture"]["index"])
-        if uri:
-            normal_tex = load_texture_cached(
-                textures, tex_cache, uri, gltf_dir, TexType.NON_COLOR
-            )
+        normal_tex = load_tex(mat["normalTexture"]["index"], TexType.NON_COLOR)
+
+    # beyond-reference: the reference only Dump()s emissiveTexture
+    # (gltfloader.h:712) and never fills a material slot; our hit path
+    # applies it (payload.py), so harvest it here.
+    emission_tex = -1
+    if "emissiveTexture" in mat:
+        emission_tex = load_tex(mat["emissiveTexture"]["index"], TexType.SRGB)
 
     emission = np.asarray(mat.get("emissiveFactor", [0.0, 0.0, 0.0]), np.float32)
     ext = mat.get("extensions", {})
@@ -219,6 +272,7 @@ def _harvest_material(doc: dict, mat: dict, gltf_dir: str, textures, tex_cache):
         transmission=transmission,
         normal_tex=normal_tex,
         emission=emission,
+        emission_tex=emission_tex,
         is_light=is_light,
         ideal_specular=ideal_specular,
         is_thinfilm=is_thinfilm,
@@ -232,7 +286,7 @@ def load_gltf(path: str, allow_camera_animation: bool = True) -> SceneData:
     textures: list = []
     tex_cache: dict = {}
     materials = [
-        _harvest_material(doc, m, g.dir, textures, tex_cache)
+        _harvest_material(g, m, textures, tex_cache)
         for m in doc.get("materials", [])
     ]
     if not materials:

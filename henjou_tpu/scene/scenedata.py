@@ -174,12 +174,48 @@ class MaterialTable(NamedTuple):
     is_thinfilm: jnp.ndarray  # [M] bool
 
 
+# Packed-row layouts. Random row gathers on this TPU platform cost the
+# same per ROW regardless of row width, so the payload fill gathers ONE
+# wide row per table instead of one narrow row per field (~40 gathers/hit
+# -> 3). Column indices below are the single source of truth.
+
+# tri_attr [T, 24]: per-instanced-triangle interpolation attributes
+TRI_TC0, TRI_TC1, TRI_TC2 = 0, 2, 4  # texcoords, 2 each
+TRI_COL0, TRI_COL1, TRI_COL2 = 6, 9, 12  # vertex colors, 3 each
+TRI_MAT = 15  # material id (exact float-encoded int)
+TRI_INST = 16  # instance id
+TRI_ROW_W = 24
+
+# mat_rows [M, 48]: the SBT-record analogue, one row per material
+MAT_BASE = 0  # base_color rgb
+MAT_EMISSION = 3  # emission rgb
+MAT_ROUGH = 6
+MAT_METAL = 7
+MAT_SUBSURF = 8
+MAT_SHEEN = 9
+MAT_CLEARCOAT = 10
+MAT_IOR = 11
+MAT_TRANSMISSION = 12
+MAT_SPECFLAG = 13  # ideal_specular
+MAT_LIGHTFLAG = 14  # is_light
+MAT_FILMFLAG = 15  # is_thinfilm
+# texture atlas rects (oy, ox, h, w); h == 0 means "no texture"
+MAT_BASE_RECT = 16
+MAT_ROUGH_RECT = 20
+MAT_METAL_RECT = 24
+MAT_NORMAL_RECT = 28
+MAT_BUMP_RECT = 32
+MAT_EMISSION_RECT = 36
+MAT_ROW_W = 48
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DeviceScene:
     """Static device buffers (uploaded once, cpySceneDataToDevice analogue,
-    renderer.h:197-255). `num_lights` is static metadata so light-count
-    logic stays compile-time across jit boundaries."""
+    renderer.h:197-255). `num_lights` and the has_* texture-usage facts are
+    static metadata so light-count logic and texture sampling code are
+    compile-time gated (lockstep lanes pay for every compiled gather)."""
 
     vertices: jnp.ndarray  # [V,3] object space
     normals: jnp.ndarray  # [V,3]
@@ -188,12 +224,20 @@ class DeviceScene:
     tri_vidx: jnp.ndarray  # [T,3] u32 global vertex ids per instanced tri
     tri_instance: jnp.ndarray  # [T] u32 owning instance
     tri_material: jnp.ndarray  # [T] u32
+    tri_attr: jnp.ndarray  # [T,TRI_ROW_W] packed interpolation row
+    mat_rows: jnp.ndarray  # [M,MAT_ROW_W] packed material row (SBT record)
     prim_offsets: jnp.ndarray  # [I] u32 first global tri of each instance
     materials: MaterialTable
     light_prim_ids: jnp.ndarray  # [L] u32 global tri ids (emissive)
     light_prim_emission: jnp.ndarray  # [L,3]
     atlas: "TextureAtlas"  # packed scene textures (textureBind analogue)
     num_lights: int = dataclasses.field(metadata=dict(static=True))
+    has_base_tex: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    has_mr_tex: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    has_normal_tex: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    has_bump_tex: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    has_emission_tex: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    has_vert_colors: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
 class FrameScene(NamedTuple):
@@ -274,8 +318,67 @@ def build_device_scene(scene: SceneData) -> DeviceScene:
 
     from henjou_tpu.texture.atlas import build_atlas
 
+    atlas = build_atlas(scene.textures)
+
+    # ---- packed per-triangle interpolation rows (one gather per hit) ----
+    t_count = len(tri_material)
+    tri_attr = np.zeros((t_count, TRI_ROW_W), np.float32)
+    tc = scene.texcoords[tri_vidx]  # [T,3,2]
+    col = scene.colors[tri_vidx]  # [T,3,3]
+    tri_attr[:, TRI_TC0 : TRI_TC0 + 2] = tc[:, 0]
+    tri_attr[:, TRI_TC1 : TRI_TC1 + 2] = tc[:, 1]
+    tri_attr[:, TRI_TC2 : TRI_TC2 + 2] = tc[:, 2]
+    tri_attr[:, TRI_COL0 : TRI_COL0 + 3] = col[:, 0]
+    tri_attr[:, TRI_COL1 : TRI_COL1 + 3] = col[:, 1]
+    tri_attr[:, TRI_COL2 : TRI_COL2 + 3] = col[:, 2]
+    tri_attr[:, TRI_MAT] = tri_material.astype(np.float32)
+    tri_attr[:, TRI_INST] = tri_instance.astype(np.float32)
+
+    # ---- packed material rows incl. texture atlas rects (SBT analogue) ----
+    off_np = np.asarray(atlas.offset)
+    size_np = np.asarray(atlas.size)
+
+    def _rect(tex_id: int) -> np.ndarray:
+        if tex_id is None or tex_id < 0 or tex_id >= len(off_np):
+            return np.zeros(4, np.float32)  # h == 0 -> no texture
+        oy, ox = off_np[tex_id]
+        h, w = size_np[tex_id]
+        return np.asarray([oy, ox, h, w], np.float32)
+
+    mat_rows = np.zeros((len(mats), MAT_ROW_W), np.float32)
+    for i, m in enumerate(mats):
+        r = mat_rows[i]
+        r[MAT_BASE : MAT_BASE + 3] = m["base_color"]
+        r[MAT_EMISSION : MAT_EMISSION + 3] = m["emission"]
+        r[MAT_ROUGH] = m["roughness"]
+        r[MAT_METAL] = m["metallic"]
+        r[MAT_SUBSURF] = m["subsurface"]
+        r[MAT_SHEEN] = m["sheen"]
+        r[MAT_CLEARCOAT] = m["clearcoat"]
+        r[MAT_IOR] = m["ior"]
+        r[MAT_TRANSMISSION] = m["transmission"]
+        r[MAT_SPECFLAG] = float(m["ideal_specular"])
+        r[MAT_LIGHTFLAG] = float(m["is_light"])
+        r[MAT_FILMFLAG] = float(m["is_thinfilm"])
+        r[MAT_BASE_RECT : MAT_BASE_RECT + 4] = _rect(m["base_color_tex"])
+        r[MAT_ROUGH_RECT : MAT_ROUGH_RECT + 4] = _rect(m["roughness_tex"])
+        r[MAT_METAL_RECT : MAT_METAL_RECT + 4] = _rect(m["metallic_tex"])
+        r[MAT_NORMAL_RECT : MAT_NORMAL_RECT + 4] = _rect(m["normal_tex"])
+        r[MAT_BUMP_RECT : MAT_BUMP_RECT + 4] = _rect(m["bump_tex"])
+        r[MAT_EMISSION_RECT : MAT_EMISSION_RECT + 4] = _rect(m["emission_tex"])
+
     return DeviceScene(
-        atlas=build_atlas(scene.textures),
+        atlas=atlas,
+        tri_attr=jnp.asarray(tri_attr),
+        mat_rows=jnp.asarray(mat_rows),
+        has_base_tex=any(m["base_color_tex"] >= 0 for m in mats),
+        has_mr_tex=any(
+            m["roughness_tex"] >= 0 or m["metallic_tex"] >= 0 for m in mats
+        ),
+        has_normal_tex=any(m["normal_tex"] >= 0 for m in mats),
+        has_bump_tex=any(m["bump_tex"] >= 0 for m in mats),
+        has_emission_tex=any(m["emission_tex"] >= 0 for m in mats),
+        has_vert_colors=bool(not np.all(scene.colors == 1.0)),
         vertices=jnp.asarray(scene.vertices),
         normals=jnp.asarray(scene.normals),
         texcoords=jnp.asarray(scene.texcoords),

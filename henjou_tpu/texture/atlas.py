@@ -63,6 +63,43 @@ def build_atlas(textures: List) -> TextureAtlas:
     )
 
 
+def sample_atlas_rect(data: jnp.ndarray, rect: jnp.ndarray, u, v) -> jnp.ndarray:
+    """Bilinear wrap sample with the atlas rect carried per lane.
+
+    `rect` is [R,4] (oy, ox, h, w) — prefetched from the packed material
+    row (scenedata.MAT_*_RECT), so no per-texture offset/size table gathers
+    remain: 4 data gathers per sample, total. h == 0 means "no texture"
+    (returns white). Returns [R,4]."""
+    oy = rect[:, 0].astype(jnp.int32)
+    ox = rect[:, 1].astype(jnp.int32)
+    hi = jnp.maximum(rect[:, 2].astype(jnp.int32), 1)
+    wi = jnp.maximum(rect[:, 3].astype(jnp.int32), 1)
+    h = hi.astype(jnp.float32)
+    w = wi.astype(jnp.float32)
+
+    # wrap addressing, texel centers at (i+0.5)/W
+    x = (u - jnp.floor(u)) * w - 0.5
+    y = (v - jnp.floor(v)) * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    x0i = jnp.mod(x0.astype(jnp.int32), wi)
+    y0i = jnp.mod(y0.astype(jnp.int32), hi)
+    x1i = jnp.mod(x0i + 1, wi)
+    y1i = jnp.mod(y0i + 1, hi)
+
+    t00 = data[oy + y0i, ox + x0i]
+    t10 = data[oy + y0i, ox + x1i]
+    t01 = data[oy + y1i, ox + x0i]
+    t11 = data[oy + y1i, ox + x1i]
+    top = t00 * (1.0 - fx) + t10 * fx
+    bot = t01 * (1.0 - fx) + t11 * fx
+    out = top * (1.0 - fy) + bot * fy
+    return jnp.where((rect[:, 2] > 0.0)[:, None], out, jnp.ones_like(out))
+
+
 def sample_atlas(atlas: TextureAtlas, tex_id: jnp.ndarray, u, v) -> jnp.ndarray:
     """Bilinear wrap sample: tex_id [R] i32 (-1 -> white), u/v [R].
     Returns [R,4]."""

@@ -47,6 +47,45 @@ class Texture:
         return self.data.shape[1]
 
 
+def texture_from_image(
+    img: np.ndarray, name: str, tex_type: TexType
+) -> Texture:
+    """Normalize a decoded [H,W,C] image (uint8 or f32 in [0,1]) into an
+    RGBA f32 Texture, applying sRGB linearization when requested."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    if img.shape[2] == 2:  # gray+alpha
+        img = np.concatenate([np.repeat(img[..., :1], 3, axis=2), img[..., 1:]], -1)
+    if img.shape[2] == 3:
+        img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
+    if tex_type == TexType.SRGB:
+        img = np.concatenate(
+            [srgb_to_linear(img[..., :3]), img[..., 3:]], axis=-1
+        )
+    return Texture(name, img.astype(np.float32), tex_type)
+
+
+def load_texture_bytes(
+    data: bytes, name: str, tex_type: TexType, mime_type: str = ""
+) -> Texture:
+    """Decode an in-memory image (GLB bufferView / data URI). PNG only —
+    the image ships no JPEG codec (raises ValueError for other formats;
+    callers downgrade to no-texture with a warning, matching the
+    reference's stb_image failure path)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from henjou_tpu.post.png import decode_png
+
+        return texture_from_image(decode_png(data, name=name), name, tex_type)
+    raise ValueError(
+        f"unsupported embedded image format ({mime_type or 'unknown'}): {name}"
+    )
+
+
 def load_texture_file(path: str, tex_type: TexType) -> Texture:
     """8-bit images via the PNG codec (stb_image analogue, texture.h:23-38);
     .hdr via the Radiance loader (texture.h:42-169)."""
@@ -60,24 +99,12 @@ def load_texture_file(path: str, tex_type: TexType) -> Texture:
     if lower.endswith(".png"):
         from henjou_tpu.post.png import read_png
 
-        img = read_png(path).astype(np.float32) / 255.0
+        img = read_png(path)
     elif lower.endswith((".ppm", ".pnm")):
         img = _read_ppm(path)
     else:
         raise ValueError(f"unsupported texture format: {path}")
-    if img.ndim == 2:
-        img = img[:, :, None]
-    if img.shape[2] == 1:
-        img = np.repeat(img, 3, axis=2)
-    if img.shape[2] == 2:  # gray+alpha
-        img = np.concatenate([np.repeat(img[..., :1], 3, axis=2), img[..., 1:]], -1)
-    if img.shape[2] == 3:
-        img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
-    if tex_type == TexType.SRGB:
-        img = np.concatenate(
-            [srgb_to_linear(img[..., :3]), img[..., 3:]], axis=-1
-        )
-    return Texture(os.path.basename(path), img.astype(np.float32), tex_type)
+    return texture_from_image(img, os.path.basename(path), tex_type)
 
 
 def _read_ppm(path: str) -> np.ndarray:

@@ -164,6 +164,101 @@ def test_glb_roundtrip(tmp_path):
     np.testing.assert_allclose(scene.vertices[1], [1, 0, 0])
 
 
+def test_glb_embedded_texture_roundtrip(tmp_path):
+    """Images stored as GLB bufferViews (the normal .glb packaging) load
+    into the atlas — tinygltf handles these in the reference
+    (gltfloader.h:1068-1125)."""
+    import jax.numpy as jnp
+
+    from henjou_tpu.post.png import write_png
+
+    doc, _ = _gltf_doc()
+    blob = base64.b64decode(doc["buffers"][0]["uri"].split(",", 1)[1])
+
+    # a 2x2 PNG: solid (255, 0, 0)
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[..., 0] = 255
+    png_path = tmp_path / "tex.png"
+    write_png(str(png_path), img)
+    png_bytes = png_path.read_bytes()
+
+    pad = (4 - len(blob) % 4) % 4
+    png_off = len(blob) + pad
+    full = blob + b"\x00" * pad + png_bytes
+    doc["buffers"][0] = {"byteLength": len(full)}
+    doc["bufferViews"].append(
+        {"buffer": 0, "byteOffset": png_off, "byteLength": len(png_bytes)}
+    )
+    doc["images"] = [{"bufferView": len(doc["bufferViews"]) - 1, "mimeType": "image/png"}]
+    doc["textures"] = [{"source": 0}]
+    doc["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] = {"index": 0}
+    # texcoords so the sampled texture is addressable
+    tc = np.zeros((4, 2), np.float32)
+    tc_off = len(full)
+    full = full + tc.tobytes()
+    doc["buffers"][0] = {"byteLength": len(full)}
+    doc["bufferViews"].append(
+        {"buffer": 0, "byteOffset": tc_off, "byteLength": tc.nbytes}
+    )
+    doc["accessors"].append(
+        {"bufferView": len(doc["bufferViews"]) - 1, "componentType": 5126,
+         "count": 4, "type": "VEC2"}
+    )
+    doc["meshes"][0]["primitives"][0]["attributes"]["TEXCOORD_0"] = (
+        len(doc["accessors"]) - 1
+    )
+
+    js = json.dumps(doc).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    binc = full + b"\x00" * ((4 - len(full) % 4) % 4)
+    glb = (
+        struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(js) + 8 + len(binc))
+        + struct.pack("<II", len(js), 0x4E4F534A)
+        + js
+        + struct.pack("<II", len(binc), 0x004E4942)
+        + binc
+    )
+    p = tmp_path / "tex.glb"
+    p.write_bytes(glb)
+    scene = load_gltf(str(p))
+    assert len(scene.textures) == 1, "bufferView image was dropped"
+    assert scene.materials[0]["base_color_tex"] == 0
+    # sRGB-decoded solid red
+    np.testing.assert_allclose(scene.textures[0].data[0, 0, :3], [1, 0, 0], atol=1e-3)
+    dev = build_device_scene(scene)
+    assert dev.has_base_tex
+
+
+def test_sparse_accessor_substitution(tmp_path):
+    """Sparse accessors (glTF 2.0 §3.6.2.3): base values overridden at the
+    sparse indices."""
+    doc, _ = _gltf_doc()
+    blob = base64.b64decode(doc["buffers"][0]["uri"].split(",", 1)[1])
+
+    sidx = np.asarray([2], np.uint16)
+    sval = np.asarray([[5.0, 5.0, 5.0]], np.float32)
+    off_i = len(blob)
+    off_v = off_i + sidx.nbytes + 2  # pad to 4
+    full = blob + sidx.tobytes() + b"\x00\x00" + sval.tobytes()
+    doc["buffers"][0]["byteLength"] = len(full)
+    doc["buffers"][0]["uri"] = (
+        "data:application/octet-stream;base64," + base64.b64encode(full).decode()
+    )
+    doc["bufferViews"].append({"buffer": 0, "byteOffset": off_i, "byteLength": sidx.nbytes})
+    doc["bufferViews"].append({"buffer": 0, "byteOffset": off_v, "byteLength": sval.nbytes})
+    # position accessor (index 0) becomes sparse: vertex 2 moves to (5,5,5)
+    doc["accessors"][0]["sparse"] = {
+        "count": 1,
+        "indices": {"bufferView": len(doc["bufferViews"]) - 2, "componentType": 5123},
+        "values": {"bufferView": len(doc["bufferViews"]) - 1},
+    }
+    p = tmp_path / "sparse.gltf"
+    p.write_text(json.dumps(doc))
+    scene = load_gltf(str(p))
+    # de-indexed tri 0 = verts (0,1,2): corner 2 carries the sparse value
+    np.testing.assert_allclose(scene.vertices[2], [5, 5, 5])
+
+
 OBJ_TEXT = """
 mtllib test.mtl
 o quad
