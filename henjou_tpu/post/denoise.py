@@ -74,6 +74,36 @@ def denoise_atrous(
 
 
 @jax.jit
+def denoise_temporal(
+    color: jnp.ndarray,
+    albedo: jnp.ndarray,
+    normal: jnp.ndarray,
+    prev_output: jnp.ndarray,
+    prev_albedo: jnp.ndarray,
+    prev_normal: jnp.ndarray,
+    alpha: float = 0.8,
+    sigma_albedo: float = 0.1,
+    sigma_normal: float = 0.2,
+) -> jnp.ndarray:
+    """TEMPORAL denoise kind (reference denoiser.h:35-40,87-89 — the
+    OPTIX_DENOISER_MODEL_KIND_TEMPORAL analogue; note no RenderMode in the
+    reference ever selects it, renderer.h:1109-1115, so this exposes a
+    latent capability).
+
+    Spatial À-trous pass, then history blended in where the albedo/normal
+    guides agree with the previous frame (guide-disocclusion rejection —
+    the flow-vector-free analogue of the NN temporal model). Returns the
+    new output, which the caller feeds back as prev_output next frame."""
+    spatial = denoise_atrous(color, albedo, normal)
+    da = jnp.sum((albedo - prev_albedo) ** 2, axis=-1, keepdims=True)
+    dn = jnp.sum((normal - prev_normal) ** 2, axis=-1, keepdims=True)
+    w_hist = alpha * jnp.exp(-da / (sigma_albedo * sigma_albedo)) * jnp.exp(
+        -dn / (sigma_normal * sigma_normal)
+    )
+    return spatial * (1.0 - w_hist) + prev_output * w_hist
+
+
+@jax.jit
 def upscale2x(img: jnp.ndarray) -> jnp.ndarray:
     """Bilinear 2x upscale [H,W,3] -> [2H,2W,3] (UPSCALE2X analogue,
     denoiser.h:83-101)."""

@@ -26,6 +26,10 @@ class RenderMode(enum.Enum):
     DENOISE = "Denoise"
     DENOISE_UPSCALE2X = "DenoiseUpScale2X"
     DEBUG = "Debug"
+    # additive: the reference's DenoiseType::TEMPORAL exists
+    # (denoiser.h:37) but no RenderMode selects it (renderer.h:1109-1115);
+    # this mode makes the latent capability reachable from config
+    DENOISE_TEMPORAL = "DenoiseTemporal"
 
 
 @dataclasses.dataclass(frozen=True)

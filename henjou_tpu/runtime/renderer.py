@@ -668,11 +668,26 @@ class Renderer:
 
     def _finalize(self, aovs: dict) -> np.ndarray:
         """Default mode = denoiser passthrough (blendFactor 1.0,
-        denoiser.h:94-97): the raw color AOV. Denoise modes land with the
-        denoiser milestone."""
+        denoiser.h:94-97): the raw color AOV; Denoise/UpScale2X/Temporal
+        map to the denoiser kinds (denoiser.h:35-40)."""
         mode = self.option.render_mode
         if mode == RenderMode.DEBUG:
             return aovs["albedo"]
+        if mode == RenderMode.DENOISE_TEMPORAL:
+            from henjou_tpu.post.denoise import denoise_temporal
+
+            color = jnp.asarray(aovs["color"])
+            albedo = jnp.asarray(aovs["albedo"])
+            normal = jnp.asarray(aovs["normal"])
+            prev = getattr(self, "_temporal_history", None)
+            if prev is None or prev[0].shape != color.shape:
+                from henjou_tpu.post.denoise import denoise_atrous
+
+                out = denoise_atrous(color, albedo, normal)
+            else:
+                out = denoise_temporal(color, albedo, normal, *prev)
+            self._temporal_history = (out, albedo, normal)
+            return np.asarray(out)
         if mode in (RenderMode.DENOISE, RenderMode.DENOISE_UPSCALE2X):
             from henjou_tpu.post.denoise import denoise_atrous, upscale2x
 

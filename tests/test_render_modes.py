@@ -62,6 +62,39 @@ def test_upscale2x_mode_doubles_resolution(tmp_path):
     assert img.shape[:2] == (32, 32)
 
 
+def test_temporal_mode_reduces_flicker(tmp_path):
+    """DenoiseTemporal (denoiser.h:37 TEMPORAL kind): across two frames of
+    a static scene rendered with different sample sets, the temporal output
+    flickers less than independently denoised frames."""
+    import dataclasses
+
+    from henjou_tpu.post.denoise import denoise_atrous
+
+    r = _mk_renderer(RenderMode.DENOISE_TEMPORAL, spp=4, size=32)
+    r.option = dataclasses.replace(
+        r.option, image_directory=str(tmp_path), image_name="tmp"
+    )
+    # two frames, static scene; frame index seeds differ -> different noise
+    aovs0 = r.render_frame(0)
+    aovs1 = r.render_frame(1)
+    out0 = r._finalize(aovs0)
+    out1 = r._finalize(aovs1)
+    temporal_flicker = np.abs(out1 - out0).mean()
+
+    ind0 = np.asarray(denoise_atrous(
+        jnp.asarray(aovs0["color"]), jnp.asarray(aovs0["albedo"]),
+        jnp.asarray(aovs0["normal"])))
+    ind1 = np.asarray(denoise_atrous(
+        jnp.asarray(aovs1["color"]), jnp.asarray(aovs1["albedo"]),
+        jnp.asarray(aovs1["normal"])))
+    independent_flicker = np.abs(ind1 - ind0).mean()
+
+    assert np.isfinite(out1).all()
+    assert temporal_flicker < independent_flicker * 0.6, (
+        temporal_flicker, independent_flicker
+    )
+
+
 def test_debug_mode_outputs_four_aovs(tmp_path):
     import dataclasses
 
