@@ -27,18 +27,16 @@ BASELINE_MRAYS = 150.0
 def main():
     from henjou_tpu.accel.pallas_cluster_hbm import (
         make_pallas_hbm_intersector as make_pallas_intersector,
-        pack_clusters_hbm as pack_clusters,
+        pack_clusters_hbm_np as pack_clusters,
     )
-    from henjou_tpu.integrator.mis import mis
     from henjou_tpu.integrator.payload import Sky
-    from henjou_tpu.runtime.camera import camera_rays, make_camera
-    from henjou_tpu.sampling.cmj import make_cmj_state
+    from henjou_tpu.runtime.camera import make_camera
     from henjou_tpu.scene.scenedata import build_device_scene, build_frame_scene
     from henjou_tpu.scene.testscenes import sphere_gallery_scene
 
     dev = build_device_scene(sphere_gallery_scene())
     frame = jax.jit(build_frame_scene)(dev, None, None)
-    pc = pack_clusters(frame.tri_verts)  # eager: jitted build miscompiles on axon
+    pc = pack_clusters(np.asarray(frame.tri_verts))  # host build (axon workaround)
     intersect_fn, occluded_fn = make_pallas_intersector(pc)
     sky = Sky(
         constant_color=jnp.asarray([0.3, 0.4, 0.55]), intensity=jnp.asarray(1.0)
@@ -46,48 +44,43 @@ def main():
     cam = make_camera((0.0, 1.2, -9.0), (0.0, -0.05, 1.0), np.radians(45.0))
 
     width = height = 512
-    lanes = width * height
     max_depth = 10
+    spp = 8
 
-    from henjou_tpu.runtime.renderer import _swizzled_pixel_order
+    from henjou_tpu.bsdf.dispatch import bsdf_eval, bsdf_pdf, make_bsdf_sampler
+    from henjou_tpu.integrator.wavefront import wavefront_render
 
-    pix_order = jnp.asarray(_swizzled_pixel_order(width, height))
+    bs = make_bsdf_sampler(None)
+    beval = lambda h, wo, wi: bsdf_eval(h, wo, wi, None)
 
+    # Flagship execution = the refilling wavefront engine (finished lanes
+    # immediately take the next (pixel, spp) sample; measured 3.2x the
+    # masked loop's honest throughput on this scene).
     @jax.jit
-    def step(spp_idx):
-        pix = pix_order
-        st = make_cmj_state(
-            jnp.broadcast_to(spp_idx.astype(jnp.uint32), (lanes,)), pix, 7
-        )
-        o, d, st = camera_rays(cam, width, height, pix, st)
-        res = mis(
-            frame, sky, o, d, st,
+    def run():
+        return wavefront_render(
+            frame, sky, cam, width, height, spp, bs,
+            bsdf_eval=beval, bsdf_pdf=bsdf_pdf, integrator="mis",
+            seed=7, lanes=1 << 16, max_depth=max_depth,
             intersect_fn=intersect_fn, occluded_fn=occluded_fn,
-            max_depth=max_depth,
         )
-        return res.lte, res.n_traces
 
-    # Ray accounting: the integrators COUNT their traces (radiance per live
-    # lane, +shadow +bsdf-branch per shaded bounce — rt.h:304,356,396); the
+    # Ray accounting: the engine COUNTS its traces (radiance per live lane,
+    # +shadow +bsdf-branch per shaded bounce — rt.h:304,356,396); the
     # reported Mrays/s is measured work, not an assumed average depth.
-
-    # warmup/compile
-    out, n_traces = step(jnp.uint32(0))
-    out.block_until_ready()
+    film = run()  # warmup/compile
+    jax.block_until_ready(film.color)
     t0 = time.perf_counter()
-    reps = 4
+    reps = 3
     total_traces = 0.0
-    for k in range(reps):
-        out, n_traces = step(jnp.uint32(k + 1))
-    out.block_until_ready()
+    for _ in range(reps):
+        film = run()
+        total_traces += float(film.n_traces)
+    jax.block_until_ready(film.color)
     dt_total = time.perf_counter() - t0
-    dt = dt_total / reps
-    # trace count is per-spp-step; steps differ only in RR draws, so one
-    # step's count stands in for each (verified stable to <1% across spp)
-    total_traces = float(n_traces) * reps
 
     mrays = total_traces / dt_total / 1e6
-    spp_per_s = reps / dt_total
+    spp_per_s = reps * spp / dt_total
     print(
         json.dumps(
             {
@@ -100,7 +93,7 @@ def main():
     )
     print(
         f"# config#2 detail: {spp_per_s:.3f} spp/s at 512x512, "
-        f"{float(n_traces)/1e6:.2f} Mtraces/spp, {dt:.3f} s/spp-step",
+        f"{total_traces/reps/1e6:.2f} Mtraces per {spp}spp pass",
         file=sys.stderr,
     )
 

@@ -1,22 +1,27 @@
-"""Wavefront path-tracing engine with lane refill (persistent threads).
+"""Wavefront engine with lane refill (persistent threads) — all integrators.
 
 The reference's megakernel keeps one SIMT thread per pixel alive through
 all `spp` samples and up to 10 bounces (rt.h:85-159); on a lockstep
 vector machine the masked-depth-loop port of that wastes throughput —
-after a few bounces most lanes are dead but still march. This engine is
-the TPU-native wavefront scheduler (SURVEY.md §2.5/§7): a fixed pool of
-N lanes; every iteration each lane advances its path by ONE bounce;
+measured on hardware, only ~10% of trace slots in the masked MIS step
+carry a live path (most paths die to sky/RR in 1-2 bounces). This engine
+is the TPU-native wavefront scheduler (SURVEY.md §2.5/§7): a fixed pool
+of N lanes; every iteration each lane advances its path by ONE bounce;
 finished lanes immediately *refill* with the next (pixel, spp) sample
 from a global work counter, and their radiance scatter-adds into the
 film. Occupancy stays ~100% until the tail.
 
 The CMJ sampler is counter-based, so a refilled lane reproduces exactly
 the stream the megakernel would have used for that sample — estimates are
-identical in distribution to the masked loop.
+pixel-exact vs the masked loops (tests/test_wavefront.py).
 
-This engine implements the `pathtrace` estimator (BSDF sampling only);
-NEE/MIS wavefront variants hang their extra shadow/BSDF rays off the same
-bounce step.
+All three estimators hang off the same bounce step, matching the masked
+integrators draw-for-draw:
+  - pathtrace: radiance trace only (rt.h:85-159)
+  - nee: +light sample, shadow trace, dead 2D draw (rt.h:162-281)
+  - mis: +independent BSDF-branch trace with balance weights
+    (rt.h:284-440; traces per bounce: radiance+shadow+branch, rt.h:304,
+    356,396)
 """
 
 from __future__ import annotations
@@ -27,11 +32,20 @@ import jax
 import jax.numpy as jnp
 
 from henjou_tpu.integrator.pathtrace import MAX_DEPTH
-from henjou_tpu.integrator.payload import Sky, closest_hit
-from henjou_tpu.math.constants import EPS_RAY, TMAX_RAY
-from henjou_tpu.math.vec import dot, local_to_world, orthonormal_basis, world_to_local
+from henjou_tpu.integrator.payload import Sky, closest_hit, occluded
+from henjou_tpu.math.constants import EPS_RAY, SHADOW_EPS_REL, TMAX_RAY
+from henjou_tpu.math.vec import (
+    absdot,
+    dot,
+    length,
+    local_to_world,
+    orthonormal_basis,
+    world_to_local,
+)
 from henjou_tpu.runtime.camera import Camera, camera_rays
-from henjou_tpu.sampling.cmj import CMJState, cmj_1d, make_cmj_state
+from henjou_tpu.sampling.cmj import CMJState, cmj_1d, cmj_2d, make_cmj_state
+from henjou_tpu.sampling.light_sample import light_pdf as light_pdf_fn
+from henjou_tpu.sampling.light_sample import sample_light
 from henjou_tpu.scene.scenedata import FrameScene
 
 
@@ -39,6 +53,309 @@ class WavefrontFilm(NamedTuple):
     color: jnp.ndarray  # [P,3]
     albedo: jnp.ndarray  # [P,3]
     normal: jnp.ndarray  # [P,3]
+    n_traces: jnp.ndarray = None  # scalar f32, honest trace count
+
+
+def _sel_state(mask, a: CMJState, b: CMJState) -> CMJState:
+    return CMJState(
+        n_spp=jnp.where(mask, a.n_spp, b.n_spp),
+        scramble=jnp.where(mask, a.scramble, b.scramble),
+        depth=jnp.where(mask, a.depth, b.depth),
+        image_idx=jnp.where(mask, a.image_idx, b.image_idx),
+    )
+
+
+def wavefront_render(
+    frame: FrameScene,
+    sky: Sky,
+    cam: Camera,
+    width: int,
+    height: int,
+    spp: int,
+    bsdf_sample: Callable,
+    bsdf_eval: Optional[Callable] = None,
+    bsdf_pdf: Optional[Callable] = None,
+    integrator: str = "pathtrace",
+    seed=0,
+    lanes: int = 1 << 16,
+    max_depth: int = MAX_DEPTH,
+    intersect_fn=None,
+    occluded_fn=None,
+    max_iters: Optional[int] = None,
+    spp_offset=0,
+) -> WavefrontFilm:
+    """Render width*height pixels at `spp` samples with a `lanes`-wide
+    refilling pool. Returns per-pixel SUMS (divide by spp outside).
+    Jittable; all shapes static."""
+    use_nee = integrator in ("nee", "mis")
+    use_mis = integrator == "mis"
+    if use_nee:
+        assert bsdf_eval is not None
+    if use_mis:
+        assert bsdf_pdf is not None
+
+    n_pixels = width * height
+    total_samples = n_pixels * spp
+    if max_iters is None:
+        # enough bounces to drain everything even if all paths run full depth
+        max_iters = (total_samples // lanes + 2) * max_depth + max_depth
+
+    film = WavefrontFilm(
+        color=jnp.zeros((n_pixels, 3), jnp.float32),
+        albedo=jnp.zeros((n_pixels, 3), jnp.float32),
+        normal=jnp.zeros((n_pixels, 3), jnp.float32),
+        n_traces=jnp.zeros((), jnp.float32),
+    )
+
+    assert total_samples < (1 << 31)
+    # how many times a lane batch can wrap past the pixel count in one
+    # refill (static; 1 for the usual lanes <= n_pixels case)
+    n_wraps = lanes // n_pixels + 1
+
+    def spawn(pix, spp_idx):
+        """(pixel, spp) -> fresh path state. No integer div/mod anywhere —
+        u32 division is software-expanded on TPU (~5 ms per 64k lanes) and
+        this runs every refill iteration."""
+        pix = pix.astype(jnp.uint32)
+        st = make_cmj_state(
+            spp_idx.astype(jnp.uint32) + jnp.uint32(spp_offset), pix, seed
+        )
+        o, d, st = camera_rays(cam, width, height, pix, st)
+        return o, d, st
+
+    # initial fill: pixel-major sample order (sample s -> pixel s % P,
+    # spp s // P), computed host-side with numpy (compile-time constants)
+    import numpy as _np
+
+    _ids = _np.arange(lanes)
+    pix0 = jnp.asarray((_ids % n_pixels).astype(_np.uint32))
+    sppidx0 = jnp.asarray((_ids // n_pixels).astype(_np.int32))
+    o0, d0, st0 = spawn(pix0, sppidx0)
+    lane_ids = jnp.arange(lanes, dtype=jnp.uint32)
+
+    class Carry(NamedTuple):
+        film: WavefrontFilm
+        counter: jnp.ndarray  # total samples assigned (monotonic, for cond)
+        ctr_pix: jnp.ndarray  # next sample's pixel (wrap counter)
+        ctr_spp: jnp.ndarray  # next sample's spp index (wrap counter)
+        pix: jnp.ndarray
+        o: jnp.ndarray
+        d: jnp.ndarray
+        st: CMJState
+        thr: jnp.ndarray
+        lte: jnp.ndarray
+        aov_a: jnp.ndarray  # first-hit AOVs carried per lane,
+        aov_n: jnp.ndarray  # scattered once at path end
+        depth: jnp.ndarray
+        valid: jnp.ndarray  # lane holds a real sample
+        it: jnp.ndarray
+
+    carry0 = Carry(
+        film=film,
+        counter=jnp.asarray(min(lanes, total_samples), jnp.int32),
+        ctr_pix=jnp.asarray(lanes % n_pixels, jnp.int32),
+        ctr_spp=jnp.asarray(lanes // n_pixels, jnp.int32),
+        pix=pix0,
+        o=o0,
+        d=d0,
+        st=st0,
+        thr=jnp.ones((lanes, 3), jnp.float32) + (o0 + d0)[:, :1] * 0.0,
+        lte=(o0 + d0) * 0.0,
+        aov_a=(o0 + d0) * 0.0,
+        aov_n=(o0 + d0) * 0.0,
+        depth=jnp.zeros((lanes,), jnp.int32) + (o0[:, 0] * 0).astype(jnp.int32),
+        # a pool wider than the total work starts partially idle
+        valid=(lane_ids < total_samples) & ((o0[:, 0] * 0) == 0),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c: Carry):
+        work_left = (c.counter < total_samples) | jnp.any(c.valid)
+        return work_left & (c.it < max_iters)
+
+    def body(c: Carry) -> Carry:
+        # ---- Russian roulette (rt.h:96-102; draw precedes the trace) ----
+        u_rr, st = cmj_1d(c.st)
+        russian_p = jnp.max(c.thr, axis=-1)
+        survive = russian_p >= u_rr
+        thr = c.thr / jnp.maximum(russian_p, 1e-12)[:, None]
+        alive = c.valid & survive
+
+        # ---- radiance trace ----
+        lane_tmax = jnp.where(alive, TMAX_RAY, 0.0)
+        hit = closest_hit(frame, sky, c.o, c.d, EPS_RAY, lane_tmax, intersect_fn)
+        n_tr = c.film.n_traces + jnp.sum(alive.astype(jnp.float32))
+
+        first = c.depth == 0
+        aov_a = jnp.where(first[:, None], hit.basecolor, c.aov_a)
+        aov_n = jnp.where(first[:, None], hit.normal, c.aov_n)
+
+        terminal = (~hit.is_hit) | hit.is_light
+        if use_nee:
+            # direct emitter/sky only at depth 0 (rt.h:196-208,318-330)
+            emit_gate = alive & terminal & first
+        else:
+            emit_gate = alive & terminal
+        lte = c.lte + jnp.where(emit_gate[:, None], thr * hit.emission, 0.0)
+        alive = alive & ~terminal
+
+        n = hit.normal
+        t, b = orthonormal_basis(n)
+        local_wo = world_to_local(-c.d, t, n, b)
+
+        if use_nee:
+            # ---- NEE shadow branch (rt.h:218-260 / 340-380) ----
+            l_pos, l_normal, l_emission, l_pdf, l_valid, st = sample_light(
+                frame, st
+            )
+            to_light = l_pos - hit.position
+            l_dist = jnp.maximum(length(to_light), 1e-12)
+            l_dir = to_light / l_dist[:, None]
+            shadow_blocked = occluded(
+                frame, hit.position, l_dir, EPS_RAY,
+                jnp.where(alive, l_dist * (1.0 - SHADOW_EPS_REL), 0.0),
+                occluded_fn,
+            )
+            n_tr = n_tr + jnp.sum(alive.astype(jnp.float32))
+            cos1 = absdot(n, l_dir)
+            cos2 = absdot(l_normal, -l_dir)
+            local_wi_l = world_to_local(l_dir, t, n, b)
+            f_l = bsdf_eval(hit, local_wo, local_wi_l)
+            g = cos2 / (l_dist * l_dist)
+            if use_mis:
+                pt_pdf_l = bsdf_pdf(hit, local_wo, local_wi_l) * g  # rt.h:374
+                w_light = l_pdf / jnp.maximum(l_pdf + pt_pdf_l, 1e-12)
+            else:
+                w_light = jnp.ones_like(l_pdf)
+            contrib_nee = (
+                thr
+                * f_l
+                * (g * cos1 / jnp.maximum(l_pdf, 1e-12) * w_light)[:, None]
+                * l_emission
+            )
+            ok = alive & l_valid & ~shadow_blocked & (l_pdf > 0.0)
+            lte = lte + jnp.where(ok[:, None], contrib_nee, 0.0)
+
+        if use_mis:
+            # ---- independent BSDF-branch trace (rt.h:382-420) ----
+            brdf_b, local_wi_b, pt_pdf_b, st = bsdf_sample(hit, local_wo, st)
+            wi_b = local_to_world(local_wi_b, t, n, b)
+            cos1_b = absdot(wi_b, n)
+            hit_b = closest_hit(
+                frame, sky, hit.position, wi_b, EPS_RAY,
+                jnp.where(alive, TMAX_RAY, 0.0), intersect_fn
+            )
+            n_tr = n_tr + jnp.sum(alive.astype(jnp.float32))
+            cos2_b = absdot(-wi_b, hit_b.normal)
+            dist_b = jnp.maximum(length(hit_b.position - hit.position), 1e-12)
+            inv_g = dist_b * dist_b / jnp.maximum(cos2_b, 1e-12)
+            lp = jnp.where(
+                hit.is_specular, 0.0,
+                light_pdf_fn(frame, hit_b.primitive_id) * inv_g,
+            )
+            w_bsdf = pt_pdf_b / jnp.maximum(pt_pdf_b + lp, 1e-12)
+            contrib_hit = (
+                thr
+                * (w_bsdf * cos1_b / jnp.maximum(pt_pdf_b, 1e-12))[:, None]
+                * hit_b.emission
+                * brdf_b
+            )
+            contrib_miss = (
+                thr
+                * (cos1_b / jnp.maximum(pt_pdf_b, 1e-12))[:, None]
+                * hit_b.emission
+                * brdf_b
+            )
+            take_hit = alive & hit_b.is_hit & hit_b.is_light
+            take_miss = alive & ~hit_b.is_hit
+            lte = lte + jnp.where(
+                take_hit[:, None],
+                contrib_hit,
+                jnp.where(take_miss[:, None], contrib_miss, 0.0),
+            )
+
+        # ---- path continuation ----
+        if use_nee:
+            _dead, st = cmj_2d(st)  # rt.h:266/426 dead draw, kept for parity
+        bsdf, local_wi, pdf, st = bsdf_sample(hit, local_wo, st)
+        wi = local_to_world(local_wi, t, n, b)
+        weight = bsdf * (jnp.abs(dot(wi, n)) / jnp.maximum(pdf, 1e-12))[:, None]
+
+        depth = c.depth + 1
+        done = c.valid & (~survive | terminal | (depth >= max_depth))
+        continuing = c.valid & ~done
+
+        new_thr = jnp.where(continuing[:, None], thr * weight, thr)
+        new_o = jnp.where(continuing[:, None], hit.position, c.o)
+        new_d = jnp.where(continuing[:, None], wi, c.d)
+
+        # ---- film accumulation for finished lanes (one scatter set) ----
+        donef = done[:, None]
+        fcolor = c.film.color.at[c.pix].add(
+            jnp.where(donef, lte, 0.0), mode="drop"
+        )
+        falbedo = c.film.albedo.at[c.pix].add(
+            jnp.where(donef, aov_a, 0.0), mode="drop"
+        )
+        fnormal = c.film.normal.at[c.pix].add(
+            jnp.where(donef, aov_n, 0.0), mode="drop"
+        )
+
+        # ---- refill finished lanes with fresh samples (wrap counters:
+        # (pixel, spp) arithmetic only — no integer div/mod) ----
+        rank = jnp.cumsum(done.astype(jnp.int32)) - 1
+        s_pix_i = c.ctr_pix + rank
+        s_spp_i = jnp.broadcast_to(c.ctr_spp, s_pix_i.shape)
+        for _ in range(n_wraps):
+            wrap = s_pix_i >= n_pixels
+            s_pix_i = s_pix_i - jnp.where(wrap, n_pixels, 0)
+            s_spp_i = s_spp_i + wrap.astype(jnp.int32)
+        can_spawn = done & (s_spp_i < spp)
+        s_o, s_d, s_st = spawn(
+            jnp.where(can_spawn, s_pix_i, 0), jnp.where(can_spawn, s_spp_i, 0)
+        )
+
+        pix = jnp.where(can_spawn, s_pix_i.astype(jnp.uint32), c.pix)
+        o = jnp.where(can_spawn[:, None], s_o, new_o)
+        d = jnp.where(can_spawn[:, None], s_d, new_d)
+        st2 = _sel_state(can_spawn, s_st, st)
+        thr2 = jnp.where(can_spawn[:, None], jnp.ones_like(new_thr), new_thr)
+        lte2 = jnp.where(donef, 0.0, lte)
+        aov_a2 = jnp.where(donef, 0.0, aov_a)
+        aov_n2 = jnp.where(donef, 0.0, aov_n)
+        depth2 = jnp.where(done, 0, depth)
+        valid2 = jnp.where(done, can_spawn, c.valid)
+        n_done = jnp.sum(done.astype(jnp.int32))
+        counter2 = jnp.minimum(c.counter + n_done, total_samples)
+        ctr_pix2 = c.ctr_pix + n_done
+        ctr_spp2 = c.ctr_spp
+        for _ in range(n_wraps):
+            w = ctr_pix2 >= n_pixels
+            ctr_pix2 = ctr_pix2 - jnp.where(w, n_pixels, 0)
+            ctr_spp2 = ctr_spp2 + w.astype(jnp.int32)
+
+        return Carry(
+            film=WavefrontFilm(
+                color=fcolor, albedo=falbedo, normal=fnormal, n_traces=n_tr
+            ),
+            counter=counter2,
+            ctr_pix=ctr_pix2,
+            ctr_spp=ctr_spp2,
+            pix=pix,
+            o=o,
+            d=d,
+            st=st2,
+            thr=thr2,
+            lte=lte2,
+            aov_a=aov_a2,
+            aov_n=aov_n2,
+            depth=depth2,
+            valid=valid2,
+            it=c.it + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out.film
 
 
 def wavefront_pathtrace(
@@ -56,150 +373,9 @@ def wavefront_pathtrace(
     max_iters: Optional[int] = None,
     spp_offset=0,
 ) -> WavefrontFilm:
-    """Render width*height pixels at `spp` samples with a `lanes`-wide
-    pool. Returns per-pixel SUMS (divide by spp outside). Jittable; all
-    shapes static."""
-    n_pixels = width * height
-    total_samples = n_pixels * spp
-    if max_iters is None:
-        # enough bounces to drain everything even if all paths run full depth
-        max_iters = (total_samples // lanes + 2) * max_depth + max_depth
-
-    film = WavefrontFilm(
-        color=jnp.zeros((n_pixels, 3), jnp.float32),
-        albedo=jnp.zeros((n_pixels, 3), jnp.float32),
-        normal=jnp.zeros((n_pixels, 3), jnp.float32),
+    """Pathtrace-only wrapper (the original engine entry point)."""
+    return wavefront_render(
+        frame, sky, cam, width, height, spp, bsdf_sample,
+        integrator="pathtrace", seed=seed, lanes=lanes, max_depth=max_depth,
+        intersect_fn=intersect_fn, max_iters=max_iters, spp_offset=spp_offset,
     )
-
-    lane_ids = jnp.arange(lanes, dtype=jnp.uint32)
-
-    def spawn(sample_ids):
-        """sample_id -> fresh path state. Pixel-major assignment:
-        sample s -> (pixel = s % P, spp_idx = s // P)."""
-        pix = (sample_ids % n_pixels).astype(jnp.uint32)
-        spp_idx = (sample_ids // n_pixels).astype(jnp.uint32) + jnp.uint32(spp_offset)
-        st = make_cmj_state(spp_idx, pix, seed)
-        o, d, st = camera_rays(cam, width, height, pix, st)
-        return pix, o, d, st
-
-    init_samples = lane_ids
-    pix0, o0, d0, st0 = spawn(init_samples)
-
-    def sel(mask, a, b):
-        return jnp.where(mask[..., None] if a.ndim == 2 else mask, a, b)
-
-    class Carry(NamedTuple):
-        film: WavefrontFilm
-        counter: jnp.ndarray  # next unassigned sample id (scalar u32->i64 safe)
-        pix: jnp.ndarray
-        o: jnp.ndarray
-        d: jnp.ndarray
-        st: CMJState
-        thr: jnp.ndarray
-        lte: jnp.ndarray
-        depth: jnp.ndarray
-        valid: jnp.ndarray  # lane holds a real sample
-        it: jnp.ndarray
-
-    carry0 = Carry(
-        film=film,
-        counter=jnp.asarray(lanes, jnp.int32),
-        pix=pix0,
-        o=o0,
-        d=d0,
-        st=st0,
-        thr=jnp.ones((lanes, 3), jnp.float32) + (o0 + d0)[:, :1] * 0.0,
-        lte=(o0 + d0) * 0.0,
-        depth=jnp.zeros((lanes,), jnp.int32) + (o0[:, 0] * 0).astype(jnp.int32),
-        # a pool wider than the total work starts partially idle
-        valid=(lane_ids < total_samples) & ((o0[:, 0] * 0) == 0),
-        it=jnp.zeros((), jnp.int32),
-    )
-
-    def cond(c: Carry):
-        work_left = (c.counter < total_samples) | jnp.any(c.valid)
-        return work_left & (c.it < max_iters)
-
-    def body(c: Carry) -> Carry:
-        # ---- one bounce for every valid lane (Pathtrace semantics) ----
-        u_rr, st = cmj_1d(c.st)
-        russian_p = jnp.max(c.thr, axis=-1)
-        survive = russian_p >= u_rr
-        thr = c.thr / jnp.maximum(russian_p, 1e-12)[:, None]
-
-        hit = closest_hit(frame, sky, c.o, c.d, EPS_RAY, TMAX_RAY, intersect_fn)
-
-        first = c.depth == 0
-        terminal = (~hit.is_hit) | hit.is_light
-        lte = c.lte + jnp.where(
-            (c.valid & survive & terminal)[:, None], thr * hit.emission, 0.0
-        )
-
-        n = hit.normal
-        t, b = orthonormal_basis(n)
-        local_wo = world_to_local(-c.d, t, n, b)
-        bsdf, local_wi, pdf, st = bsdf_sample(hit, local_wo, st)
-        wi = local_to_world(local_wi, t, n, b)
-        weight = bsdf * (jnp.abs(dot(wi, n)) / jnp.maximum(pdf, 1e-12))[:, None]
-
-        depth = c.depth + 1
-        done = c.valid & (
-            ~survive | terminal | (depth >= max_depth)
-        )
-        continuing = c.valid & ~done
-
-        new_thr = jnp.where(continuing[:, None], thr * weight, thr)
-        new_o = jnp.where(continuing[:, None], hit.position, c.o)
-        new_d = jnp.where(continuing[:, None], wi, c.d)
-
-        # ---- film accumulation for finished lanes + first-hit AOVs ----
-        fcolor = c.film.color.at[c.pix].add(
-            jnp.where(done[:, None], lte, 0.0), mode="drop"
-        )
-        aov_gate = (c.valid & first)[:, None]
-        falbedo = c.film.albedo.at[c.pix].add(
-            jnp.where(aov_gate, hit.basecolor, 0.0), mode="drop"
-        )
-        fnormal = c.film.normal.at[c.pix].add(
-            jnp.where(aov_gate, hit.normal, 0.0), mode="drop"
-        )
-
-        # ---- refill finished lanes with fresh samples ----
-        rank = jnp.cumsum(done.astype(jnp.int32)) - 1
-        new_sample = c.counter + rank
-        can_spawn = done & (new_sample < total_samples)
-        spawn_ids = jnp.where(can_spawn, new_sample, 0).astype(jnp.uint32)
-        s_pix, s_o, s_d, s_st = spawn(spawn_ids)
-
-        pix = jnp.where(can_spawn, s_pix, c.pix)
-        o = jnp.where(can_spawn[:, None], s_o, new_o)
-        d = jnp.where(can_spawn[:, None], s_d, new_d)
-        st2 = CMJState(
-            n_spp=jnp.where(can_spawn, s_st.n_spp, st.n_spp),
-            scramble=jnp.where(can_spawn, s_st.scramble, st.scramble),
-            depth=jnp.where(can_spawn, s_st.depth, st.depth),
-            image_idx=jnp.where(can_spawn, s_st.image_idx, st.image_idx),
-        )
-        thr2 = jnp.where(can_spawn[:, None], jnp.ones_like(new_thr), new_thr)
-        lte2 = jnp.where(done[:, None], 0.0, lte)
-        depth2 = jnp.where(can_spawn, 0, jnp.where(done, 0, depth))
-        valid2 = jnp.where(done, can_spawn, c.valid)
-        counter2 = c.counter + jnp.sum(done.astype(jnp.int32))
-        counter2 = jnp.minimum(counter2, total_samples)
-
-        return Carry(
-            film=WavefrontFilm(color=fcolor, albedo=falbedo, normal=fnormal),
-            counter=counter2,
-            pix=pix,
-            o=o,
-            d=d,
-            st=st2,
-            thr=thr2,
-            lte=lte2,
-            depth=depth2,
-            valid=valid2,
-            it=c.it + 1,
-        )
-
-    out = jax.lax.while_loop(cond, body, carry0)
-    return out.film

@@ -44,6 +44,22 @@ def make_camera(position, direction, fov_rad: float, up=None, right=None) -> Cam
     )
 
 
+def divmod_u24(i: jnp.ndarray, n: int):
+    """Exact (i // n, i % n) for u32 values below 2^24 WITHOUT integer
+    division — TPUs have no hardware int div, so `%`/`//` by a non-power-
+    of-two expands to a long software sequence (measured 4.8 ms for 64k
+    lanes). Float estimate + one correction step is exact in this range
+    (pixel counts < 16.7M) and costs a handful of VPU ops."""
+    i_f = i.astype(jnp.float32)
+    q = jnp.floor(i_f * np.float32(1.0 / n)).astype(jnp.int32)
+    r = i.astype(jnp.int32) - q * n
+    over = r >= n
+    under = r < 0
+    q = q + over.astype(jnp.int32) - under.astype(jnp.int32)
+    r = r - jnp.where(over, n, 0) + jnp.where(under, n, 0)
+    return q.astype(i.dtype), r.astype(i.dtype)
+
+
 def camera_rays(
     cam: Camera,
     width: int,
@@ -54,8 +70,9 @@ def camera_rays(
     """Primary rays for pixel indices [R] with one CMJ 2D jitter drawn from
     the per-lane state. Returns (origin[R,3], dir[R,3], state)."""
     xi, state = cmj_2d(state)
-    px = (pixel_idx % width).astype(jnp.float32) + xi[..., 0]
-    py = (pixel_idx // width).astype(jnp.float32) + xi[..., 1]
+    py_i, px_i = divmod_u24(pixel_idx, width)
+    px = px_i.astype(jnp.float32) + xi[..., 0]
+    py = py_i.astype(jnp.float32) + xi[..., 1]
     # NDC with x scaled by aspect, y flipped so +up is the image top
     u = (2.0 * px - width) / height
     v = (height - 2.0 * py) / height

@@ -70,7 +70,9 @@ class RenderOption:
     spp_batch: int = 16  # samples per jitted step (compile-time/ckpt batching)
     seed: int = 0
     integrator: str = "mis"  # pathtrace | nee | mis (rt.h:85,162,284)
-    engine: str = "masked"  # masked (depth loop) | wavefront (lane refill)
+    # auto -> wavefront on TPU (3.2x the masked loop's honest Mrays/s,
+    # pixel-exact), masked on CPU (fast compile for tests/tools)
+    engine: str = "auto"  # auto | masked (depth loop) | wavefront (refill)
 
 
 def _load_fps_txt(path: str):
@@ -156,5 +158,5 @@ def load_render_option(filepath: str) -> RenderOption:
         spp_batch=int(j.get("TPU", {}).get("spp_batch", 16)),
         seed=int(j.get("TPU", {}).get("seed", 0)),
         integrator=str(j.get("TPU", {}).get("integrator", "mis")),
-        engine=str(j.get("TPU", {}).get("engine", "masked")),
+        engine=str(j.get("TPU", {}).get("engine", "auto")),
     )

@@ -217,7 +217,19 @@ class Renderer:
         )
 
         if isinstance(accel, HbmClusters):
-            return make_pallas_hbm_intersector(accel)
+            ifn, ofn = make_pallas_hbm_intersector(accel)
+            from henjou_tpu.accel.sorting import (
+                NUM_SUPER_THRESHOLD,
+                make_sorted_intersector,
+            )
+
+            if accel.num_super >= NUM_SUPER_THRESHOLD:
+                # bounce-ray coherence: sort rays into compact tiles so the
+                # per-tile supercluster culling can actually skip
+                a2 = np.asarray(accel.aabb2)[:, : accel.num_super]
+                lo, hi = a2[0:3].min(axis=1), a2[3:6].max(axis=1)
+                ifn, ofn = make_sorted_intersector(ifn, ofn, lo, hi)
+            return ifn, ofn
         if isinstance(accel, PackedClusters):
             return make_pallas_intersector(accel)
         from henjou_tpu.accel.traverse import make_bvh_intersector
@@ -249,16 +261,18 @@ class Renderer:
             )
         raise ValueError(f"unknown integrator {integrator}")
 
-    def _make_closure_step(self, frame_scene, accel, cam, width, height):
-        """Per-frame step with the scene closed over (axon workaround, see
-        __init__). Cached per frame index to avoid recompiling within the
-        spp/tile loops of one frame."""
+    def _make_closure_step(self, frame_scene, accel, width, height):
+        """Per-frame step with the SCENE closed over (axon workaround, see
+        __init__) but the CAMERA passed as a jit argument — camera
+        animation then reuses the compiled step across frames; only a
+        change in the scene transforms (animated geometry) retraces.
+        Cached on the transform content, not the frame index."""
         intersect_fn, occluded_fn = self._accel_adapters(accel)
         sky = self.sky
         me = self
 
         @functools.partial(jax.jit, static_argnames=("spp_count",))
-        def step(pixel_idx, spp_start, seed, spp_count: int):
+        def step(cam: Camera, pixel_idx, spp_start, seed, spp_count: int):
             n = pixel_idx.shape[0]
             zero = jnp.zeros((n, 3), jnp.float32)
 
@@ -407,8 +421,15 @@ class Renderer:
         cam = self._frame_camera(time_s)
 
         # Acceleration structure rebuilt per frame (the reference's
-        # per-frame IAS rebuild analogue, renderer.h:257-291).
-        accel = self._select_accel(frame_scene)
+        # per-frame IAS rebuild analogue, renderer.h:257-291) — but reused
+        # when the transforms didn't change (static geometry).
+        accel_key = np.asarray(transforms).tobytes()
+        cache = getattr(self, "_accel_cache", None)
+        if cache is not None and cache[0] == accel_key:
+            accel = cache[1]
+        else:
+            accel = self._select_accel(frame_scene)
+            self._accel_cache = (accel_key, accel)
         jax.block_until_ready(accel if accel is not None else frame_scene.tri_verts)
         build_ms = (time.monotonic() - t_build0) * 1e3
 
@@ -424,24 +445,25 @@ class Renderer:
                 spp_done = int(ck["spp_done"])
                 log.info("resumed frame %d at %d spp from %s", frame, spp_done, checkpoint_path)
 
-        if self.option.engine == "wavefront" and self.integrator == "pathtrace":
+        engine = self.option.engine
+        if engine == "auto":
+            engine = "wavefront" if jax.devices()[0].platform != "cpu" else "masked"
+        if engine == "wavefront":
             return self._render_frame_wavefront(
                 frame_scene, accel, cam, width, height, frame,
-                deadline=deadline,
-            )
-        if self.option.engine == "wavefront":
-            log.warning(
-                "wavefront engine implements pathtrace only; using the "
-                "masked loop for integrator %s", self.integrator,
+                deadline=deadline, checkpoint_path=checkpoint_path,
+                resume=(color, albedo, normal, spp_done),
             )
 
         if self.closure_mode:
-            key = (frame, width, height)
+            # keyed on transform CONTENT: a static scene (or camera-only
+            # animation) reuses one compiled step for every frame
+            key = (width, height, np.asarray(transforms).tobytes())
             if self._closure_cache.get("key") != key:
                 self._closure_cache = {
                     "key": key,
                     "step": self._make_closure_step(
-                        frame_scene, accel, cam, width, height
+                        frame_scene, accel, width, height
                     ),
                 }
             closure_step = self._closure_cache["step"]
@@ -458,6 +480,7 @@ class Renderer:
                 pix = jnp.asarray(pix_np)
                 if self.closure_mode:
                     c, a, nm = closure_step(
+                        cam,
                         pix,
                         jnp.uint32(spp_done),
                         jnp.uint32(opt.seed + frame),
@@ -519,32 +542,43 @@ class Renderer:
         return out
 
     def _render_frame_wavefront(
-        self, frame_scene, accel, cam, width, height, frame, deadline=None
+        self, frame_scene, accel, cam, width, height, frame, deadline=None,
+        checkpoint_path=None, resume=None,
     ) -> dict:
         """Persistent-lane wavefront execution (integrator/wavefront.py):
         lanes refill with fresh (pixel, spp) samples the moment a path
         terminates, so occupancy stays ~100% instead of decaying with
-        depth as in the masked loop."""
-        from henjou_tpu.integrator.wavefront import wavefront_pathtrace
+        depth as in the masked loop. Covers all three integrators."""
+        from henjou_tpu.integrator.wavefront import wavefront_render
 
         opt = self.option
-        intersect_fn, _ = Renderer._accel_adapters(accel)
+        intersect_fn, occluded_fn = Renderer._accel_adapters(accel)
         bsdf_sample = self.bsdf_sample
+        bsdf_eval = getattr(self, "bsdf_eval", None)
+        bsdf_pdf = getattr(self, "bsdf_pdf", None)
+        integrator = self.integrator
         sky = self.sky
+        lanes = min(1 << 16, max(width * height, 1 << 12))
 
         @functools.partial(jax.jit, static_argnames=("spp",))
         def wf_step(spp_offset, spp: int):
-            return wavefront_pathtrace(
+            return wavefront_render(
                 frame_scene, sky, cam, width, height, spp, bsdf_sample,
-                seed=opt.seed + frame, intersect_fn=intersect_fn,
+                bsdf_eval=bsdf_eval, bsdf_pdf=bsdf_pdf, integrator=integrator,
+                seed=opt.seed + frame, lanes=lanes,
+                intersect_fn=intersect_fn, occluded_fn=occluded_fn,
                 spp_offset=spp_offset,
             )
 
         n = width * height
-        color = np.zeros((n, 3), np.float32)
-        albedo = np.zeros((n, 3), np.float32)
-        normal = np.zeros((n, 3), np.float32)
-        spp_done = 0
+        if resume is not None:
+            color, albedo, normal, spp_done = resume
+        else:
+            color = np.zeros((n, 3), np.float32)
+            albedo = np.zeros((n, 3), np.float32)
+            normal = np.zeros((n, 3), np.float32)
+            spp_done = 0
+        traces = 0.0
         batch = max(1, opt.spp_batch)
         t0 = time.monotonic()
         while spp_done < opt.max_spp:
@@ -553,13 +587,27 @@ class Renderer:
             color += np.asarray(film.color)
             albedo += np.asarray(film.albedo)
             normal += np.asarray(film.normal)
+            traces += float(film.n_traces)
             spp_done += cur
+            if checkpoint_path:
+                np.savez(
+                    checkpoint_path + ".tmp.npz",
+                    frame=frame, spp_done=spp_done,
+                    color=color, albedo=albedo, normal=normal,
+                )
+                os.replace(checkpoint_path + ".tmp.npz", checkpoint_path)
             if deadline is not None and time.monotonic() - t0 > deadline:
                 log.warning(
                     "frame %d: deadline hit at %d/%d spp",
                     frame, spp_done, opt.max_spp,
                 )
                 break
+        render_s = time.monotonic() - t0
+        log.info(
+            "frame %d wavefront: %.2fs (%d spp, %.1f Mtraces, %.1f Mrays/s)",
+            frame, render_s, spp_done, traces / 1e6,
+            traces / max(render_s, 1e-9) / 1e6,
+        )
         inv = 1.0 / max(spp_done, 1)
         return {
             "color": (color * inv).reshape(height, width, 3),

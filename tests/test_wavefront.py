@@ -63,6 +63,53 @@ def test_wavefront_aovs_accumulate_once_per_sample():
     assert np.allclose(albedo.reshape(8, 8, 3)[4, 4], [0.8, 0.8, 0.8], atol=0.05)
 
 
+def test_wavefront_nee_mis_match_masked_loops():
+    """All three estimators hang off the wavefront bounce step and must be
+    pixel-exact vs their masked-loop counterparts (same CMJ streams)."""
+    from henjou_tpu.bsdf.dispatch import bsdf_eval, bsdf_pdf
+    from henjou_tpu.integrator.mis import mis
+    from henjou_tpu.integrator.nee import nee
+    from henjou_tpu.integrator.wavefront import wavefront_render
+
+    dev = build_device_scene(cornell_box_scene())
+    frame = build_frame_scene(dev)
+    sky = Sky(constant_color=jnp.zeros(3), intensity=jnp.asarray(1.0))
+    cam = make_camera((0, 0, -4.5), (0, 0, 1), np.radians(45.0))
+    w = h = 12
+    spp = 3
+    bsdf_sample = make_bsdf_sampler(None)
+    beval = lambda hit, wo, wi: bsdf_eval(hit, wo, wi, None)
+
+    for integ, masked_fn in (("nee", nee), ("mis", mis)):
+        film = jax.jit(
+            lambda integ=integ: wavefront_render(
+                frame, sky, cam, w, h, spp, bsdf_sample,
+                bsdf_eval=beval, bsdf_pdf=bsdf_pdf, integrator=integ,
+                seed=0, lanes=128,
+            )
+        )()
+        wf_img = np.asarray(film.color) / spp
+
+        pix = jnp.arange(w * h, dtype=jnp.uint32)
+        acc = np.zeros((w * h, 3), np.float32)
+        for s in range(spp):
+            st = make_cmj_state(jnp.full(w * h, s, jnp.uint32), pix, 0)
+            o, d, st = camera_rays(cam, w, h, pix, st)
+            if integ == "nee":
+                res = jax.jit(
+                    lambda o, d, st: nee(frame, sky, o, d, st, bsdf_sample, beval)
+                )(o, d, st)
+            else:
+                res = jax.jit(
+                    lambda o, d, st: mis(
+                        frame, sky, o, d, st, bsdf_sample, beval, bsdf_pdf
+                    )
+                )(o, d, st)
+            acc += np.asarray(res.lte)
+        ml_img = acc / spp
+        np.testing.assert_allclose(wf_img, ml_img, rtol=1e-4, atol=1e-5)
+
+
 def test_renderer_wavefront_engine_matches_masked():
     import dataclasses
 
@@ -77,14 +124,19 @@ def test_renderer_wavefront_engine_matches_masked():
         spp_batch=4,
         camera_position=(0.0, 0.0, -4.5),
         camera_direction=(0.0, 0.0, 1.0),
-        integrator="pathtrace",
     )
-    imgs = {}
-    for engine in ("masked", "wavefront"):
-        r = Renderer(option=dataclasses.replace(opt, engine=engine))
-        r.set_scene(cornell_box_scene())
-        r.build()
-        imgs[engine] = r.render_frame(0)["color"]
-    np.testing.assert_allclose(
-        imgs["wavefront"], imgs["masked"], rtol=1e-4, atol=1e-5
-    )
+    for integrator in ("pathtrace", "nee", "mis"):
+        imgs = {}
+        for engine in ("masked", "wavefront"):
+            r = Renderer(
+                option=dataclasses.replace(
+                    opt, engine=engine, integrator=integrator
+                )
+            )
+            r.set_scene(cornell_box_scene())
+            r.build()
+            imgs[engine] = r.render_frame(0)["color"]
+        np.testing.assert_allclose(
+            imgs["wavefront"], imgs["masked"], rtol=1e-4, atol=1e-5,
+            err_msg=integrator,
+        )
