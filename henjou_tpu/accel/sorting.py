@@ -55,11 +55,9 @@ def ray_sort_key(ray_o, ray_d, lo, inv_extent):
 def make_sorted_intersector(intersect_fn, occluded_fn, lo, hi):
     """Wrap an (intersect_fn, occluded_fn) pair so rays are sorted into
     coherent tiles before the kernel and results unsorted after.
-    lo/hi: scene AABB corners (host values)."""
-    lo = np.asarray(lo, np.float32)
-    hi = np.asarray(hi, np.float32)
+    lo/hi: scene AABB corners (host values or traced arrays)."""
     lo_j = jnp.asarray(lo, jnp.float32)
-    inv_extent = jnp.asarray(1.0 / np.maximum(hi - lo, 1e-12), jnp.float32)
+    inv_extent = 1.0 / jnp.maximum(jnp.asarray(hi, jnp.float32) - lo_j, 1e-12)
 
     def _sorted(fn, n_out):
         def wrapped(tri, ray_o, ray_d, tmin, tmax):

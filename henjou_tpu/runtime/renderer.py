@@ -226,8 +226,10 @@ class Renderer:
             if accel.num_super >= NUM_SUPER_THRESHOLD:
                 # bounce-ray coherence: sort rays into compact tiles so the
                 # per-tile supercluster culling can actually skip
-                a2 = np.asarray(accel.aabb2)[:, : accel.num_super]
-                lo, hi = a2[0:3].min(axis=1), a2[3:6].max(axis=1)
+                # (jnp ops: works on both concrete and traced accel)
+                a2 = accel.aabb2[:, : accel.num_super]
+                lo = jnp.min(a2[0:3], axis=1)
+                hi = jnp.max(a2[3:6], axis=1)
                 ifn, ofn = make_sorted_intersector(ifn, ofn, lo, hi)
             return ifn, ofn
         if isinstance(accel, PackedClusters):
@@ -455,7 +457,15 @@ class Renderer:
                 resume=(color, albedo, normal, spp_done),
             )
 
-        if self.closure_mode:
+        # Miscompile #1 is now narrowed (tools/repro_miscompile.py): only
+        # tri_verts CONSUMED by the brute-force [N,T] intersect diverges in
+        # arg-mode; with the Pallas cluster path, frame/accel/camera as jit
+        # ARGS are verified correct on hardware — so arg-mode (one compile
+        # for a whole animation, even animated geometry) is used whenever
+        # an accel exists, and the closure fallback only for tiny
+        # brute-force scenes.
+        use_closure = self.closure_mode and accel is None
+        if use_closure:
             # keyed on transform CONTENT: a static scene (or camera-only
             # animation) reuses one compiled step for every frame
             key = (width, height, np.asarray(transforms).tobytes())
@@ -478,7 +488,7 @@ class Renderer:
                 stop = min(start + tile, n)
                 pix_np = pix_order[start:stop]
                 pix = jnp.asarray(pix_np)
-                if self.closure_mode:
+                if use_closure:
                     c, a, nm = closure_step(
                         cam,
                         pix,
@@ -552,7 +562,6 @@ class Renderer:
         from henjou_tpu.integrator.wavefront import wavefront_render
 
         opt = self.option
-        intersect_fn, occluded_fn = Renderer._accel_adapters(accel)
         bsdf_sample = self.bsdf_sample
         bsdf_eval = getattr(self, "bsdf_eval", None)
         bsdf_pdf = getattr(self, "bsdf_pdf", None)
@@ -560,15 +569,47 @@ class Renderer:
         sky = self.sky
         lanes = min(1 << 16, max(width * height, 1 << 12))
 
-        @functools.partial(jax.jit, static_argnames=("spp",))
-        def wf_step(spp_offset, spp: int):
-            return wavefront_render(
-                frame_scene, sky, cam, width, height, spp, bsdf_sample,
-                bsdf_eval=bsdf_eval, bsdf_pdf=bsdf_pdf, integrator=integrator,
-                seed=opt.seed + frame, lanes=lanes,
-                intersect_fn=intersect_fn, occluded_fn=occluded_fn,
-                spp_offset=spp_offset,
+        use_args = accel is not None  # see render_frame miscompile note
+        if use_args:
+            wf_key = (
+                "wf_args", width, height, integrator, lanes,
+                type(accel).__name__,
+                getattr(accel, "num_super", 0),
+                getattr(accel, "num_clusters", 0),
             )
+            cache = getattr(self, "_wf_cache", {})
+            if cache.get("key") != wf_key:
+                @functools.partial(jax.jit, static_argnames=("spp",))
+                def wf_args(frame_scene, accel, cam, spp_offset, seed, spp: int):
+                    ifn, ofn = Renderer._accel_adapters(accel)
+                    return wavefront_render(
+                        frame_scene, sky, cam, width, height, spp,
+                        bsdf_sample, bsdf_eval=bsdf_eval, bsdf_pdf=bsdf_pdf,
+                        integrator=integrator, seed=seed, lanes=lanes,
+                        intersect_fn=ifn, occluded_fn=ofn,
+                        spp_offset=spp_offset,
+                    )
+
+                cache = {"key": wf_key, "fn": wf_args}
+                self._wf_cache = cache
+
+            def wf_step(spp_offset, spp: int):
+                return cache["fn"](
+                    frame_scene, accel, cam, spp_offset,
+                    jnp.uint32(opt.seed + frame), spp=spp,
+                )
+        else:
+            intersect_fn, occluded_fn = Renderer._accel_adapters(accel)
+
+            @functools.partial(jax.jit, static_argnames=("spp",))
+            def wf_step(spp_offset, spp: int):
+                return wavefront_render(
+                    frame_scene, sky, cam, width, height, spp, bsdf_sample,
+                    bsdf_eval=bsdf_eval, bsdf_pdf=bsdf_pdf,
+                    integrator=integrator, seed=opt.seed + frame, lanes=lanes,
+                    intersect_fn=intersect_fn, occluded_fn=occluded_fn,
+                    spp_offset=spp_offset,
+                )
 
         n = width * height
         if resume is not None:
