@@ -38,6 +38,14 @@ def main():
     frame = jax.jit(build_frame_scene)(dev, None, None)
     pc = pack_clusters(np.asarray(frame.tri_verts))  # host build (axon workaround)
     intersect_fn, occluded_fn = make_pallas_intersector(pc)
+    # bounce-ray sorting: tiles become compact so the kernel's scalar
+    # frustum pre-pass can reject (measured 1.7x on this scene)
+    from henjou_tpu.accel.sorting import make_sorted_intersector
+
+    a2 = np.asarray(pc.aabb2)[:, : pc.num_super]
+    intersect_fn, occluded_fn = make_sorted_intersector(
+        intersect_fn, occluded_fn, a2[0:3].min(axis=1), a2[3:6].max(axis=1)
+    )
     sky = Sky(
         constant_color=jnp.asarray([0.3, 0.4, 0.55]), intensity=jnp.asarray(1.0)
     )

@@ -113,6 +113,7 @@ def _kernel(
     tmin_ref, tmax_ref,
     t_out, prim_out, u_out, v_out,
     bt_ref, bp_ref, bu_ref, bv_ref,  # VMEM scratch [RT,1] best-hit state
+    bt_max_ref,  # SMEM scalar: frustum far plane (max best-t over tile)
     buf_ref,  # VMEM [SC*16, K] supercluster staging
     sem_ref,  # DMA semaphore
     *, num_super: int, any_hit: bool,
@@ -138,6 +139,47 @@ def _kernel(
     bu_ref[:] = jnp.zeros(ox.shape, jnp.float32)
     bv_ref[:] = jnp.zeros(ox.shape, jnp.float32)
 
+    # ---- per-tile ray-bundle bounds for the scalar frustum pre-pass ----
+    # A [RT,1]-shaped slab test costs ~0.7 us PER BOX even when it fails
+    # (the lane dim pads to 128), which puts a hard ceiling on big scenes
+    # (95 superclusters = ~65 us/tile just in rejections). These scalars
+    # let each box be rejected in ~60 true scalar-unit ops; the precise
+    # vector test runs only for frustum passers. Interval arithmetic is
+    # conservative: mixed-sign direction tiles make the frustum infinite
+    # (always pass), never skip a reachable box.
+    o_lo = (jnp.min(ox), jnp.min(oy), jnp.min(oz))
+    o_hi = (jnp.max(ox), jnp.max(oy), jnp.max(oz))
+    i_lo = (jnp.min(ix), jnp.min(iy), jnp.min(iz))
+    i_hi = (jnp.max(ix), jnp.max(iy), jnp.max(iz))
+    tmin_lo = jnp.min(tmin)
+    bt_max_ref[0] = jnp.max(tmax)
+
+    def frustum_need(box_ref, idx):
+        """Scalar conservative bundle-vs-AABB test."""
+        t_enter = tmin_lo
+        t_exit = bt_max_ref[0]
+        for ax in range(3):
+            mn = box_ref[ax, idx]
+            mx = box_ref[3 + ax, idx]
+            c0 = mn - o_hi[ax]
+            c1 = mn - o_lo[ax]
+            d0 = mx - o_hi[ax]
+            d1 = mx - o_lo[ax]
+            il, ih = i_lo[ax], i_hi[ax]
+            p = (c0 * il, c0 * ih, c1 * il, c1 * ih,
+                 d0 * il, d0 * ih, d1 * il, d1 * ih)
+            lo8 = jnp.minimum(
+                jnp.minimum(jnp.minimum(p[0], p[1]), jnp.minimum(p[2], p[3])),
+                jnp.minimum(jnp.minimum(p[4], p[5]), jnp.minimum(p[6], p[7])),
+            )
+            hi8 = jnp.maximum(
+                jnp.maximum(jnp.maximum(p[0], p[1]), jnp.maximum(p[2], p[3])),
+                jnp.maximum(jnp.maximum(p[4], p[5]), jnp.maximum(p[6], p[7])),
+            )
+            t_enter = jnp.maximum(t_enter, lo8)
+            t_exit = jnp.minimum(t_exit, hi8)
+        return t_enter <= t_exit
+
     def slab_need(box_ref, idx, best_t):
         mnx = box_ref[0, idx]
         mny = box_ref[1, idx]
@@ -162,12 +204,23 @@ def _kernel(
         return jnp.any(tlo <= thi)
 
     def body(c2, carry):
-        need2 = slab_need(aabb2_ref, c2, bt_ref[:])
+        need2_f = frustum_need(aabb2_ref, c2)
         if any_hit:
-            need2 = need2 & ~jnp.all(bp_ref[:] >= 0)
+            need2_f = need2_f & ~jnp.all(bp_ref[:] >= 0)
 
-        @pl.when(need2)
+        @pl.when(need2_f)
         def _():
+            need2 = slab_need(aabb2_ref, c2, bt_ref[:])
+            if any_hit:
+                need2 = need2 & ~jnp.all(bp_ref[:] >= 0)
+
+            @pl.when(need2)
+            def _():
+                _taken(c2)
+
+        return carry
+
+    def _taken(c2):
             dma = pltpu.make_async_copy(
                 rows_ref.at[pl.ds(c2 * SC * 16, SC * 16)], buf_ref, sem_ref
             )
@@ -175,6 +228,18 @@ def _kernel(
             dma.wait()
 
             for j in range(SC):
+                need = frustum_need(aabb_ref, c2 * SC + j)
+
+                @pl.when(need)
+                def _(j=j):
+                    _cluster(c2, j)
+
+            # refresh the frustum's scalar far plane only after taken
+            # superclusters (a [RT,1] max per rejected box would defeat
+            # the point of the scalar pre-pass)
+            bt_max_ref[0] = jnp.max(bt_ref[:])
+
+    def _cluster(c2, j):
                 need = slab_need(aabb_ref, c2 * SC + j, bt_ref[:])
 
                 @pl.when(need)
@@ -232,8 +297,6 @@ def _kernel(
                     bu_ref[:] = jnp.where(hit_any, u_k, bu_ref[:])
                     bv_ref[:] = jnp.where(hit_any, v_k, bv_ref[:])
 
-        return carry
-
     jax.lax.fori_loop(0, num_super, body, 0)
 
     t_out[:] = bt_ref[:]
@@ -288,6 +351,7 @@ def intersect_pallas_hbm(hc: HbmClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
             pltpu.VMEM((RAY_TILE, 1), jnp.int32),
             pltpu.VMEM((RAY_TILE, 1), jnp.float32),
             pltpu.VMEM((RAY_TILE, 1), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
             pltpu.VMEM((SC * 16, K), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],

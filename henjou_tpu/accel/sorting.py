@@ -21,8 +21,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-# below this many superclusters per-tile culling can't win anything
-NUM_SUPER_THRESHOLD = 8
+# Sorting pays for every cluster-kernel scene: even at 2 superclusters the
+# CLUSTER-level frustum rejection inside sorted tiles measured 1.7x on the
+# gallery (3.15 vs 1.86 Mrays/s); at 95 superclusters it measured 1.5x.
+NUM_SUPER_THRESHOLD = 1
 
 
 def _part1by2(x):

@@ -100,11 +100,18 @@ def wavefront_render(
         # enough bounces to drain everything even if all paths run full depth
         max_iters = (total_samples // lanes + 2) * max_depth + max_depth
 
+    # varying zeros derived from spp_offset: under shard_map the offset is
+    # per-device, so every loop carry must share its varying axes (see
+    # accel/traverse.py carry note) — adding 0*offset taints them all
+    szero_f = jnp.asarray(spp_offset).astype(jnp.float32) * 0.0
+    szero_i = jnp.asarray(spp_offset).astype(jnp.int32) * 0
+    szero_u = jnp.asarray(spp_offset).astype(jnp.uint32) * 0
+
     film = WavefrontFilm(
-        color=jnp.zeros((n_pixels, 3), jnp.float32),
-        albedo=jnp.zeros((n_pixels, 3), jnp.float32),
-        normal=jnp.zeros((n_pixels, 3), jnp.float32),
-        n_traces=jnp.zeros((), jnp.float32),
+        color=jnp.zeros((n_pixels, 3), jnp.float32) + szero_f,
+        albedo=jnp.zeros((n_pixels, 3), jnp.float32) + szero_f,
+        normal=jnp.zeros((n_pixels, 3), jnp.float32) + szero_f,
+        n_traces=jnp.zeros((), jnp.float32) + szero_f,
     )
 
     assert total_samples < (1 << 31)
@@ -152,21 +159,21 @@ def wavefront_render(
 
     carry0 = Carry(
         film=film,
-        counter=jnp.asarray(min(lanes, total_samples), jnp.int32),
-        ctr_pix=jnp.asarray(lanes % n_pixels, jnp.int32),
-        ctr_spp=jnp.asarray(lanes // n_pixels, jnp.int32),
-        pix=pix0,
-        o=o0,
-        d=d0,
+        counter=jnp.asarray(min(lanes, total_samples), jnp.int32) + szero_i,
+        ctr_pix=jnp.asarray(lanes % n_pixels, jnp.int32) + szero_i,
+        ctr_spp=jnp.asarray(lanes // n_pixels, jnp.int32) + szero_i,
+        pix=pix0 + szero_u,
+        o=o0 + szero_f,
+        d=d0 + szero_f,
         st=st0,
-        thr=jnp.ones((lanes, 3), jnp.float32) + (o0 + d0)[:, :1] * 0.0,
-        lte=(o0 + d0) * 0.0,
-        aov_a=(o0 + d0) * 0.0,
-        aov_n=(o0 + d0) * 0.0,
-        depth=jnp.zeros((lanes,), jnp.int32) + (o0[:, 0] * 0).astype(jnp.int32),
+        thr=jnp.ones((lanes, 3), jnp.float32) + (o0 + d0)[:, :1] * 0.0 + szero_f,
+        lte=(o0 + d0) * 0.0 + szero_f,
+        aov_a=(o0 + d0) * 0.0 + szero_f,
+        aov_n=(o0 + d0) * 0.0 + szero_f,
+        depth=jnp.zeros((lanes,), jnp.int32) + szero_i,
         # a pool wider than the total work starts partially idle
-        valid=(lane_ids < total_samples) & ((o0[:, 0] * 0) == 0),
-        it=jnp.zeros((), jnp.int32),
+        valid=(lane_ids < total_samples) & (szero_i == 0),
+        it=jnp.zeros((), jnp.int32) + szero_i,
     )
 
     def cond(c: Carry):

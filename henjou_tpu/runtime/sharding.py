@@ -69,6 +69,43 @@ def spp_sharded_step(
     return run
 
 
+def wavefront_sharded_step(
+    wavefront_fn: Callable,
+    mesh: Mesh,
+    spp_per_device: int,
+    axis: str = "d",
+):
+    """Shard the WAVEFRONT engine over chips by sample slices: device k
+    runs `wavefront_fn(spp_offset)` (a full refilling-pool render of
+    `spp_per_device` samples per pixel, returning a WavefrontFilm of
+    per-pixel sums) on its own disjoint spp range, then the partial films
+    psum over ICI. Lane pools never communicate mid-render — the only
+    traffic is one [P,3]-sized reduce per call, exactly like the masked
+    spp sharding."""
+    n_dev = mesh.shape[axis]
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(), P(), P(), P()),
+    )
+    def step(spp_offsets):
+        film = wavefront_fn(spp_offsets[0])
+        color = jax.lax.psum(film.color, axis)
+        albedo = jax.lax.psum(film.albedo, axis)
+        normal = jax.lax.psum(film.normal, axis)
+        traces = jax.lax.psum(film.n_traces, axis)
+        return color, albedo, normal, traces
+
+    def run(spp_start):
+        offsets = spp_start + spp_per_device * jnp.arange(n_dev, dtype=jnp.uint32)
+        return step(offsets)
+
+    return run
+
+
 def tile_sharded_step(
     render_pixels: Callable,
     mesh: Mesh,

@@ -106,6 +106,43 @@ def test_obj_mesh_end_to_end(tmp_path):
     assert img[12, 12].mean() > 0.85
 
 
+def test_debug_nans_hook_catches_nans():
+    """SURVEY §5 race/sanitizer row: jax_debug_nans is the TPU-side
+    sanitizer; the CLI exposes it (--debug-nans). Verify it actually
+    fires on a NaN-producing program."""
+    import pytest
+
+    jax.config.update("jax_debug_nans", True)
+    try:
+        with pytest.raises(Exception):
+            jax.jit(lambda x: (x - x) / (x - x))(jnp.ones(4)).block_until_ready()
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
+def test_step_does_not_alias_inputs():
+    """Donation-safety (SURVEY §5): the jitted step must not corrupt its
+    argument buffers — running the same step twice with the same inputs
+    gives identical results."""
+    from henjou_tpu.runtime.options import RenderOption
+    from henjou_tpu.runtime.renderer import Renderer
+    from henjou_tpu.scene.testscenes import cornell_box_scene
+
+    r = Renderer(
+        option=RenderOption(
+            image_width=8, image_height=8, max_spp=2, spp_batch=2,
+            camera_position=(0.0, 0.0, -4.5),
+            camera_direction=(0.0, 0.0, 1.0),
+            scene_sky_default=(0.0, 0.0, 0.0),
+        )
+    )
+    r.set_scene(cornell_box_scene())
+    r.build()
+    first = r.render_frame(0)["color"]
+    again = r.render_frame(0)["color"]
+    np.testing.assert_array_equal(first, again)
+
+
 def test_use_date_stamps_output_names(tmp_path):
     """use_date=true prefixes output PNGs with a run timestamp. (In the
     reference the flag's `data` string is dead, renderer.h:1085-1087; we

@@ -65,6 +65,51 @@ def test_spp_sharded_matches_sequential():
     np.testing.assert_allclose(np.asarray(c_sharded), c_seq, rtol=1e-5, atol=1e-6)
 
 
+def test_wavefront_sharded_matches_unsharded():
+    """Device k renders its own spp slice with the refilling wavefront
+    engine; the psum of partial films must equal the single-pool render of
+    all samples."""
+    from jax.sharding import Mesh
+
+    from henjou_tpu.bsdf.dispatch import bsdf_eval, bsdf_pdf, make_bsdf_sampler
+    from henjou_tpu.integrator.payload import Sky
+    from henjou_tpu.integrator.wavefront import wavefront_render
+    from henjou_tpu.runtime.camera import make_camera
+    from henjou_tpu.runtime.sharding import wavefront_sharded_step
+    from henjou_tpu.scene.scenedata import build_device_scene, build_frame_scene
+    from henjou_tpu.scene.testscenes import cornell_box_scene
+
+    dev = build_device_scene(cornell_box_scene())
+    frame = build_frame_scene(dev)
+    sky = Sky(constant_color=jnp.zeros(3), intensity=jnp.asarray(1.0))
+    cam = make_camera((0, 0, -4.5), (0, 0, 1), np.radians(45.0))
+    w = h = 8
+    bs = make_bsdf_sampler(None)
+    beval = lambda hit, wo, wi: bsdf_eval(hit, wo, wi, None)
+    spp_per_dev = 1
+
+    def wf(spp_offset):
+        return wavefront_render(
+            frame, sky, cam, w, h, spp_per_dev, bs,
+            bsdf_eval=beval, bsdf_pdf=bsdf_pdf, integrator="mis",
+            seed=0, lanes=64, max_depth=3, spp_offset=spp_offset,
+        )
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+    step = wavefront_sharded_step(wf, mesh, spp_per_dev)
+    c8, a8, n8, tr8 = step(jnp.uint32(0))
+
+    ref = wavefront_render(
+        frame, sky, cam, w, h, 8, bs,
+        bsdf_eval=beval, bsdf_pdf=bsdf_pdf, integrator="mis",
+        seed=0, lanes=64, max_depth=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c8), np.asarray(ref.color), rtol=1e-5, atol=1e-6
+    )
+    assert abs(float(tr8) - float(ref.n_traces)) < 1e-3
+
+
 def test_tile_sharded_matches_unsharded():
     from jax.sharding import Mesh
 
