@@ -83,10 +83,22 @@ def wavefront_render(
     occluded_fn=None,
     max_iters: Optional[int] = None,
     spp_offset=0,
+    pool_key_fn: Optional[Callable] = None,
 ) -> WavefrontFilm:
     """Render width*height pixels at `spp` samples with a `lanes`-wide
     refilling pool. Returns per-pixel SUMS (divide by spp outside).
-    Jittable; all shapes static."""
+    Jittable; all shapes static.
+
+    `pool_key_fn(o, d) -> i32 key`: when given, the WHOLE lane pool is
+    re-sorted by the key of each lane's outgoing ray at the end of every
+    bounce (fused Pallas bitonic carrying the full per-lane state,
+    accel/bitonic.py). Lane order is semantically free here — the film
+    scatter goes through `pix` and the CMJ stream through counters — so
+    unlike the per-trace sorted-intersector wrapper there is NO inverse
+    permutation, and one sort serves the next radiance trace AND the
+    shadow/BSDF-branch traces (which share its hit points as origins).
+    Dead lanes sink to the end where their zero-tmax tiles cull
+    instantly. Requires power-of-two `lanes` (multiple of 1024)."""
     use_nee = integrator in ("nee", "mis")
     use_mis = integrator == "mis"
     if use_nee:
@@ -340,6 +352,39 @@ def wavefront_render(
             w = ctr_pix2 >= n_pixels
             ctr_pix2 = ctr_pix2 - jnp.where(w, n_pixels, 0)
             ctr_spp2 = ctr_spp2 + w.astype(jnp.int32)
+
+        if pool_key_fn is not None:
+            # pool re-sort: group coherent outgoing rays into kernel tiles
+            from henjou_tpu.accel.bitonic import bitonic_sort
+
+            key = pool_key_fn(o, d)
+            key = jnp.where(valid2, key, jnp.int32((1 << 30) - 1))
+            interp = jax.default_backend() == "cpu"
+            (
+                _, pix, ox, oy, oz, dx, dy, dz,
+                s_nspp, s_scr, s_dep, s_img,
+                t0, t1, t2, l0, l1, l2,
+                a0, a1, a2, q0, q1, q2,
+                depth2, vi,
+            ) = bitonic_sort(
+                key,
+                pix, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                st2.n_spp, st2.scramble, st2.depth, st2.image_idx,
+                thr2[:, 0], thr2[:, 1], thr2[:, 2],
+                lte2[:, 0], lte2[:, 1], lte2[:, 2],
+                aov_a2[:, 0], aov_a2[:, 1], aov_a2[:, 2],
+                aov_n2[:, 0], aov_n2[:, 1], aov_n2[:, 2],
+                depth2, valid2.astype(jnp.int32),
+                interpret=interp,
+            )
+            o = jnp.stack([ox, oy, oz], axis=1)
+            d = jnp.stack([dx, dy, dz], axis=1)
+            st2 = CMJState(n_spp=s_nspp, scramble=s_scr, depth=s_dep, image_idx=s_img)
+            thr2 = jnp.stack([t0, t1, t2], axis=1)
+            lte2 = jnp.stack([l0, l1, l2], axis=1)
+            aov_a2 = jnp.stack([a0, a1, a2], axis=1)
+            aov_n2 = jnp.stack([q0, q1, q2], axis=1)
+            valid2 = vi != 0
 
         return Carry(
             film=WavefrontFilm(

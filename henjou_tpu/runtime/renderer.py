@@ -238,6 +238,39 @@ class Renderer:
 
         return make_bvh_intersector(accel)
 
+    @staticmethod
+    def _accel_adapters_wavefront(accel, lanes: int):
+        """(intersect_fn, occluded_fn, pool_key_fn) for the wavefront
+        engine. When the pool can be bitonic-sorted in place (power-of-two
+        lanes, cluster kernel in play), return RAW kernels plus a ray sort
+        key fn — the engine then re-sorts the whole pool once per bounce
+        instead of sort+unsort around each of the three traces."""
+        from henjou_tpu.accel.pallas_cluster_hbm import HbmClusters
+
+        pool_ok = lanes % 1024 == 0 and (lanes & (lanes - 1)) == 0
+        if isinstance(accel, HbmClusters) and pool_ok:
+            from henjou_tpu.accel.pallas_cluster_hbm import (
+                make_pallas_hbm_intersector,
+            )
+            from henjou_tpu.accel.sorting import (
+                NUM_SUPER_THRESHOLD,
+                ray_sort_key,
+            )
+
+            if accel.num_super >= NUM_SUPER_THRESHOLD:
+                ifn, ofn = make_pallas_hbm_intersector(accel)
+                a2 = accel.aabb2[:, : accel.num_super]
+                lo = jnp.min(a2[0:3], axis=1)
+                hi = jnp.max(a2[3:6], axis=1)
+                inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-12)
+
+                def pool_key(o, d):
+                    return ray_sort_key(o, d, lo, inv_extent)
+
+                return ifn, ofn, pool_key
+        ifn, ofn = Renderer._accel_adapters(accel)
+        return ifn, ofn, None
+
     def _integrate(self, frame_scene, sky, o, d, state, intersect_fn, occluded_fn):
         """One spp of the selected integrator over a lane batch."""
         integrator = self.integrator
@@ -581,13 +614,15 @@ class Renderer:
             if cache.get("key") != wf_key:
                 @functools.partial(jax.jit, static_argnames=("spp",))
                 def wf_args(frame_scene, accel, cam, spp_offset, seed, spp: int):
-                    ifn, ofn = Renderer._accel_adapters(accel)
+                    ifn, ofn, pool_key = Renderer._accel_adapters_wavefront(
+                        accel, lanes
+                    )
                     return wavefront_render(
                         frame_scene, sky, cam, width, height, spp,
                         bsdf_sample, bsdf_eval=bsdf_eval, bsdf_pdf=bsdf_pdf,
                         integrator=integrator, seed=seed, lanes=lanes,
                         intersect_fn=ifn, occluded_fn=ofn,
-                        spp_offset=spp_offset,
+                        spp_offset=spp_offset, pool_key_fn=pool_key,
                     )
 
                 cache = {"key": wf_key, "fn": wf_args}

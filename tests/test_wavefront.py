@@ -140,3 +140,63 @@ def test_renderer_wavefront_engine_matches_masked():
             imgs["wavefront"], imgs["masked"], rtol=1e-4, atol=1e-5,
             err_msg=integrator,
         )
+
+
+def test_bitonic_sort_carries_payload():
+    """Pallas bitonic (interpret on CPU): key sorted, planes co-permuted."""
+    from henjou_tpu.accel.bitonic import bitonic_sort
+
+    n = 1024
+    rng = np.random.default_rng(3)
+    key = rng.integers(0, 1 << 20, n).astype(np.int32)
+    pf = rng.normal(size=n).astype(np.float32)
+    pu = rng.integers(0, 1 << 30, n).astype(np.uint32)
+    idx = np.arange(n, dtype=np.int32)
+    sk, spf, spu, sidx = (
+        np.asarray(x)
+        for x in bitonic_sort(
+            jnp.asarray(key), jnp.asarray(pf), jnp.asarray(pu),
+            jnp.asarray(idx), interpret=True,
+        )
+    )
+    assert (np.sort(key) == sk).all()
+    perm = sidx
+    assert (key[perm] == sk).all()
+    assert (pf[perm] == spf).all()
+    assert (pu[perm] == spu.astype(np.uint32)).all()
+
+
+def test_wavefront_pool_sort_is_estimator_invariant():
+    """Sorting the lane pool each bounce must not change the estimate
+    (lane order is free: film goes through pix, RNG through counters)."""
+    from henjou_tpu.accel.sorting import ray_sort_key
+    from henjou_tpu.integrator.wavefront import wavefront_render
+
+    dev = build_device_scene(cornell_box_scene())
+    frame = build_frame_scene(dev)
+    sky = Sky(constant_color=jnp.zeros(3), intensity=jnp.asarray(1.0))
+    cam = make_camera((0, 0, -4.5), (0, 0, 1), np.radians(45.0))
+    w = h = 16
+    spp = 8
+    bsdf_sample = make_bsdf_sampler(None)
+    lo = jnp.asarray([-2.0, -2.0, -2.0])
+    inv_e = jnp.asarray([0.25, 0.25, 0.25])
+
+    def keyf(o, d):
+        return ray_sort_key(o, d, lo, inv_e)
+
+    base = jax.jit(
+        lambda: wavefront_render(
+            frame, sky, cam, w, h, spp, bsdf_sample, seed=0, lanes=1024
+        )
+    )()
+    sorted_ = jax.jit(
+        lambda: wavefront_render(
+            frame, sky, cam, w, h, spp, bsdf_sample, seed=0, lanes=1024,
+            pool_key_fn=keyf,
+        )
+    )()
+    np.testing.assert_allclose(
+        np.asarray(sorted_.color), np.asarray(base.color), rtol=1e-4, atol=1e-5
+    )
+    assert float(sorted_.n_traces) == float(base.n_traces)
