@@ -25,9 +25,9 @@ BASELINE_MRAYS = 150.0
 
 
 def main():
-    from henjou_tpu.accel.pallas_cluster_hbm import (
-        make_pallas_hbm_intersector as make_pallas_intersector,
-        pack_clusters_hbm_np as pack_clusters,
+    from henjou_tpu.accel.pallas_binned import (
+        make_binned_intersector as make_pallas_intersector,
+        pack_binned_np as pack_clusters,
     )
     from henjou_tpu.integrator.payload import Sky
     from henjou_tpu.runtime.camera import make_camera
@@ -38,13 +38,12 @@ def main():
     frame = jax.jit(build_frame_scene)(dev, None, None)
     pc = pack_clusters(np.asarray(frame.tri_verts))  # host build (axon workaround)
     intersect_fn, occluded_fn = make_pallas_intersector(pc)
-    # bounce-ray sorting: tiles become compact so the kernel's scalar
-    # frustum pre-pass can reject (measured 1.7x on this scene)
-    from henjou_tpu.accel.sorting import make_sorted_intersector
+    # bitonic sorted wrapper: coherent tiles, dead lanes sorted last so
+    # their tiles skip, exact scene-exit tmax clamp for early exit
+    from henjou_tpu.accel.sorting import make_bitonic_sorted_intersector
 
-    a2 = np.asarray(pc.aabb2)[:, : pc.num_super]
-    intersect_fn, occluded_fn = make_sorted_intersector(
-        intersect_fn, occluded_fn, a2[0:3].min(axis=1), a2[3:6].max(axis=1)
+    intersect_fn, occluded_fn = make_bitonic_sorted_intersector(
+        intersect_fn, occluded_fn, pc.scene_lo, pc.scene_hi
     )
     sky = Sky(
         constant_color=jnp.asarray([0.3, 0.4, 0.55]), intensity=jnp.asarray(1.0)

@@ -81,3 +81,63 @@ def make_sorted_intersector(intersect_fn, occluded_fn, lo, hi):
         return wrapped
 
     return _sorted(intersect_fn, 5), _sorted(occluded_fn, 1)
+
+
+def make_bitonic_sorted_intersector(intersect_fn, occluded_fn, lo, hi):
+    """Like `make_sorted_intersector`, but the permutation work rides a
+    fused Pallas bitonic network (accel/bitonic.py) instead of
+    argsort+gathers (~2.7 ms vs ~9 ms per 64k-ray trace), and DEAD lanes
+    (tmax <= tmin) sort to the end — their tiles become all-dead and the
+    binned kernel's prepass skips them outright, so kernel time scales
+    with live occupancy. Falls back to the argsort wrapper for ray counts
+    the network can't take (must be a power-of-two multiple of 1024)."""
+    import jax
+
+    from henjou_tpu.accel.bitonic import bitonic_sort
+
+    lo_j = jnp.asarray(lo, jnp.float32)
+    inv_extent = 1.0 / jnp.maximum(jnp.asarray(hi, jnp.float32) - lo_j, 1e-12)
+    fallback_i, fallback_o = make_sorted_intersector(
+        intersect_fn, occluded_fn, lo, hi
+    )
+    DEAD_KEY = jnp.int32((1 << 30) - 1)
+
+    def _sorted(fn, n_out, fallback):
+        def wrapped(tri, ray_o, ray_d, tmin, tmax):
+            r = ray_o.shape[0]
+            if r % 1024 != 0 or (r & (r - 1)) != 0:
+                return fallback(tri, ray_o, ray_d, tmin, tmax)
+            interp = jax.default_backend() == "cpu"
+            tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+            tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+            key = ray_sort_key(ray_o, ray_d, lo_j, inv_extent)
+            key = jnp.where(tmax_b > tmin_b, key, DEAD_KEY)
+            lane = jnp.arange(r, dtype=jnp.int32)
+            (_, ox, oy, oz, dx, dy, dz, tn, tx, lid) = bitonic_sort(
+                key,
+                ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
+                ray_d[:, 0], ray_d[:, 1], ray_d[:, 2],
+                tmin_b, tmax_b, lane,
+                interpret=interp,
+            )
+            out = fn(
+                tri, jnp.stack([ox, oy, oz], axis=1),
+                jnp.stack([dx, dy, dz], axis=1), tn, tx,
+            )
+            if n_out == 1:
+                _, res = bitonic_sort(
+                    lid, out.astype(jnp.int32), interpret=interp
+                )
+                return res != 0
+            t, prim, u, v, _ = out
+            _, t, prim, u, v = bitonic_sort(
+                lid, t, prim, u, v, interpret=interp
+            )
+            return t, prim, u, v, prim >= 0
+
+        return wrapped
+
+    return (
+        _sorted(intersect_fn, 5, fallback_i),
+        _sorted(occluded_fn, 1, fallback_o),
+    )

@@ -200,7 +200,9 @@ class Renderer:
             return None
         platform = jax.devices()[0].platform
         if platform != "cpu":
-            return self._pack_build(frame_scene.tri_verts)
+            from henjou_tpu.accel.pallas_binned import pack_binned_np
+
+            return pack_binned_np(np.asarray(frame_scene.tri_verts))
         return self._bvh_build(frame_scene.tri_verts)
 
     @staticmethod
@@ -216,6 +218,22 @@ class Renderer:
             make_pallas_hbm_intersector,
         )
 
+        from henjou_tpu.accel.pallas_binned import (
+            BinnedClusters,
+            make_binned_intersector,
+        )
+
+        if isinstance(accel, BinnedClusters):
+            from henjou_tpu.accel.sorting import (
+                make_bitonic_sorted_intersector,
+            )
+
+            ifn, ofn = make_binned_intersector(accel)
+            # bitonic sorted wrapper: coherent tiles, dead lanes last,
+            # exact scene-exit tmax clamp inside the kernel call
+            return make_bitonic_sorted_intersector(
+                ifn, ofn, accel.scene_lo, accel.scene_hi
+            )
         if isinstance(accel, HbmClusters):
             ifn, ofn = make_pallas_hbm_intersector(accel)
             from henjou_tpu.accel.sorting import (

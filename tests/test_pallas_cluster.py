@@ -98,3 +98,101 @@ def test_hbm_any_hit_and_tmax():
         hc, o, d, 1e-3, tmax=tmax, any_hit=True, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_p))
+
+
+def test_binned_matches_bruteforce_interpret():
+    from henjou_tpu.accel.pallas_binned import intersect_binned, pack_binned_np
+
+    rng = np.random.default_rng(5)
+    t = 700
+    c = rng.uniform(-3, 3, (t, 1, 3))
+    tris = jnp.asarray(
+        (c + rng.normal(scale=0.25, size=(t, 3, 3))).astype(np.float32)
+    )
+    bc = pack_binned_np(np.asarray(tris))
+    n = 512
+    o = jnp.asarray(rng.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t_b, p_b, _, _, h_b = intersect_bruteforce(tris, o, d, 1e-3)
+    t_p, p_p, _, _, h_p = intersect_binned(bc, o, d, 1e-3, interpret=True)
+    h_b, h_p = np.asarray(h_b), np.asarray(h_p)
+    assert (h_b == h_p).all()
+    np.testing.assert_allclose(np.asarray(t_p)[h_b], np.asarray(t_b)[h_b], rtol=1e-4)
+    assert (np.asarray(p_p)[h_b] == np.asarray(p_b)[h_b]).all()
+
+
+def test_binned_grouped_and_anyhit_interpret():
+    import henjou_tpu.accel.pallas_binned as pb
+
+    rng = np.random.default_rng(7)
+    t = 900
+    c = rng.uniform(-3, 3, (t, 1, 3))
+    tris = jnp.asarray(
+        (c + rng.normal(scale=0.3, size=(t, 3, 3))).astype(np.float32)
+    )
+    old = pb.MAX_FINE_CLUSTERS
+    pb.MAX_FINE_CLUSTERS = 2  # force the group=SC (DMA-group) path
+    try:
+        bc = pb.pack_binned_np(np.asarray(tris))
+    finally:
+        pb.MAX_FINE_CLUSTERS = old
+    assert bc.group > 1
+    n = 512
+    o = jnp.asarray(rng.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t_b, p_b, _, _, h_b = intersect_bruteforce(tris, o, d, 1e-3)
+    t_p, p_p, _, _, h_p = pb.intersect_binned(bc, o, d, 1e-3, interpret=True)
+    h_b = np.asarray(h_b)
+    assert (h_b == np.asarray(h_p)).all()
+    assert (np.asarray(p_p)[h_b] == np.asarray(p_b)[h_b]).all()
+    tmax = jnp.full((n,), 2.0, jnp.float32)
+    _, _, _, _, ha = pb.intersect_binned(
+        bc, o, d, 1e-3, tmax=tmax, any_hit=True, interpret=True
+    )
+    _, _, _, _, hb2 = intersect_bruteforce(tris, o, d, 1e-3, tmax=tmax)
+    assert (np.asarray(ha) == np.asarray(hb2)).all()
+
+
+def test_bitonic_wrapper_dead_lanes_and_parity():
+    """Bitonic sorted wrapper: estimator-invisible, dead lanes exact."""
+    from henjou_tpu.accel.pallas_binned import (
+        make_binned_intersector,
+        pack_binned_np,
+    )
+    from henjou_tpu.accel.sorting import make_bitonic_sorted_intersector
+
+    rng = np.random.default_rng(11)
+    t = 500
+    c = rng.uniform(-3, 3, (t, 1, 3))
+    tris = jnp.asarray(
+        (c + rng.normal(scale=0.25, size=(t, 3, 3))).astype(np.float32)
+    )
+    bc = pack_binned_np(np.asarray(tris))
+    ifn, ofn = make_binned_intersector(bc)
+    sifn, sofn = make_bitonic_sorted_intersector(
+        ifn, ofn, bc.scene_lo, bc.scene_hi
+    )
+    n = 1024
+    o = jnp.asarray(rng.uniform(-5, 5, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmin = jnp.full((n,), 1e-3)
+    tmax = jnp.where(jnp.arange(n) % 3 == 0, 0.0, 1e9).astype(jnp.float32)
+    t_b, p_b, _, _, h_b = intersect_bruteforce(tris, o, d, 1e-3, tmax=tmax)
+    t_s, p_s, _, _, h_s = sifn(None, o, d, tmin, tmax)
+    h_b = np.asarray(h_b)
+    assert (h_b == np.asarray(h_s)).all()
+    np.testing.assert_allclose(
+        np.asarray(t_s)[h_b], np.asarray(t_b)[h_b], rtol=1e-4
+    )
+    assert (np.asarray(p_s)[h_b] == np.asarray(p_b)[h_b]).all()
+    occ = sofn(None, o, d, tmin, jnp.full((n,), 2.0))
+    _, _, _, _, occ_ref = intersect_bruteforce(
+        tris, o, d, 1e-3, tmax=jnp.full((n,), 2.0)
+    )
+    assert (np.asarray(occ) == np.asarray(occ_ref)).all()
