@@ -182,6 +182,12 @@ def _tile_worklists(gaabb, num_groups, ox, oy, oz, dx, dy, dz, tmin, tmax, rt):
     gp = gaabb.shape[1]
     t_enter = jnp.broadcast_to(tmin_lo, (t, gp))
     t_exit = jnp.broadcast_to(tmax_hi, (t, gp))
+    # direction-free lower bound: rays are unit-speed, so reaching a box
+    # takes at least the L2 gap between the tile's origin box and the
+    # cluster box. For mixed-direction tiles (whose slab intervals are
+    # infinite) this is the only source of near-to-far ordering, and it
+    # makes origin-sorted pools cullable without per-trace sorting.
+    gap_sq = jnp.zeros((t, gp), jnp.float32)
     for ax in range(3):
         mn = gaabb[ax][None, :]
         mx = gaabb[3 + ax][None, :]
@@ -203,7 +209,10 @@ def _tile_worklists(gaabb, num_groups, ox, oy, oz, dx, dy, dz, tmin, tmax, rt):
         )
         t_enter = jnp.maximum(t_enter, lo8)
         t_exit = jnp.minimum(t_exit, hi8)
+        gap = jnp.maximum(jnp.maximum(c0, -d1), 0.0)  # mn - o_hi | o_lo - mx
+        gap_sq = gap_sq + gap * gap
 
+    t_enter = jnp.maximum(t_enter, jnp.sqrt(gap_sq))
     need = (
         (t_enter <= t_exit)
         & (jax.lax.broadcasted_iota(jnp.int32, (t, gp), 1) < num_groups)

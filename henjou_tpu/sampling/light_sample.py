@@ -12,6 +12,7 @@ replaces both the search and the transform — same result, one memory op.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from henjou_tpu.math.vec import cross, length, normalize
@@ -30,9 +31,36 @@ def sample_light(frame: FrameScene, state: CMJState):
     idx = (p * count).astype(jnp.int32)
     idx = jnp.clip(idx, 0, jnp.maximum(dev.num_lights - 1, 0))
 
-    prim = dev.light_prim_ids[idx]
-    v = frame.tri_verts[prim]  # [R,3,3] world
-    n = frame.tri_normals[prim]
+    r = idx.shape[0]
+    n_l = int(dev.light_prim_ids.shape[0])
+    if 0 < n_l <= 512:
+        # few lights: replace three per-lane row gathers (~1 ms each at
+        # 64k lanes — TPU gathers are latency-bound row walks) with one
+        # one-hot matmul that rides the MXU. The light table itself is
+        # gathered once ([n_l] rows, loop-invariant — XLA hoists it).
+        lp = dev.light_prim_ids
+        table = jnp.concatenate(
+            [
+                frame.tri_verts[lp].reshape(n_l, 9),
+                frame.tri_normals[lp].reshape(n_l, 9),
+                dev.light_prim_emission.reshape(n_l, 3),
+            ],
+            axis=1,
+        )  # [n_l, 21]
+        onehot = (
+            idx[:, None] == jnp.arange(n_l, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        # precision=highest: the MXU's default bf16 pass would quantize
+        # the selected light vertices (visible banding on Cornell walls)
+        g = jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST)
+        v = g[:, 0:9].reshape(r, 3, 3)
+        n = g[:, 9:18].reshape(r, 3, 3)
+        emission = g[:, 18:21]
+    else:
+        prim = dev.light_prim_ids[idx]
+        v = frame.tri_verts[prim]  # [R,3,3] world
+        n = frame.tri_normals[prim]
+        emission = dev.light_prim_emission[idx]
 
     xi, state = cmj_2d(state)
     sq = jnp.sqrt(xi[..., 0])
@@ -47,7 +75,6 @@ def sample_light(frame: FrameScene, state: CMJState):
     select_pdf = 1.0 / jnp.maximum(count, 1.0)
     pdf = select_pdf / jnp.maximum(area, 1e-12)
 
-    emission = dev.light_prim_emission[idx]
     valid = jnp.broadcast_to(count > 0.5, pdf.shape)
     return position, normal, emission, pdf, valid, state
 
@@ -57,6 +84,10 @@ def light_pdf(frame: FrameScene, prim: jnp.ndarray) -> jnp.ndarray:
     of having light-sampled the triangle actually hit by a BSDF ray."""
     dev = frame.device
     count = jnp.asarray(dev.num_lights, jnp.float32)
-    v = frame.tri_verts[jnp.maximum(prim, 0)]
-    area = 0.5 * length(cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]))
+    # gather ONE precomputed area per lane instead of nine vertex floats;
+    # the [T] area table is loop-invariant (XLA hoists it out of the
+    # bounce loop)
+    tv = frame.tri_verts
+    areas = 0.5 * length(cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]))
+    area = areas[jnp.maximum(prim, 0)]
     return 1.0 / jnp.maximum(area * count, 1e-12)
