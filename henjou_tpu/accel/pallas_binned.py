@@ -221,7 +221,9 @@ def _tile_worklists(gaabb, num_groups, ox, oy, oz, dx, dy, dz, tmin, tmax, rt):
     tkey = jnp.where(need, t_enter, _BIG)
     perm, tent = _bitonic_rows(tkey)
     count = jnp.sum(need.astype(jnp.int32), axis=1)
-    return perm, tent, count
+    # FLAT 1-D worklists: 2-D SMEM prefetch operands pad their minor dim
+    # to 128 lanes (4x SMEM waste -> OOM at small ray tiles); 1-D don't
+    return perm.reshape(-1), tent.reshape(-1), count
 
 
 def _bitonic_rows(key):
@@ -260,8 +262,8 @@ def _bitonic_rows(key):
 
 
 def _kernel(
-    list_ref,  # SMEM prefetch [T, Gp] i32
-    tent_ref,  # SMEM prefetch [T, Gp] f32
+    list_ref,  # SMEM prefetch [T*Gp] i32 (flat; see _tile_worklists)
+    tent_ref,  # SMEM prefetch [T*Gp] f32
     count_ref,  # SMEM prefetch [T] i32
     rows_ref,  # ANY (HBM) [Ctot*16, K]
     aabb_ref,  # SMEM [8, Cp] per-cluster (used when group > 1)
@@ -272,7 +274,7 @@ def _kernel(
     bt_ref, bp_ref, bu_ref, bv_ref,  # VMEM scratch [RT,1] best-hit state
     buf_ref,  # VMEM [group*16, K] staging
     sem_ref,  # DMA semaphore
-    *, group: int, any_hit: bool, vmem_rows: bool,
+    *, group: int, any_hit: bool, vmem_rows: bool, gp: int,
 ):
     i = pl.program_id(0)
     ox = ox_ref[:]  # [RT, 1]
@@ -380,7 +382,7 @@ def _kernel(
 
     def body(carry):
         li, tnext, btmax = carry
-        gid = list_ref[i, li]
+        gid = list_ref[i * gp + li]
         if vmem_rows:
             src_ref, base = rows_ref, gid * group * 16
         else:
@@ -408,10 +410,10 @@ def _kernel(
             # all lanes occluded -> nothing left to refine
             btmax2 = jnp.where(jnp.all(bp_ref[:] >= 0), -_BIG, btmax2)
         li2 = li + 1
-        tnext2 = tent_ref[i, jnp.minimum(li2, tent_ref.shape[1] - 1)]
+        tnext2 = tent_ref[i * gp + jnp.minimum(li2, gp - 1)]
         return li2, tnext2, btmax2
 
-    t0 = tent_ref[i, 0]
+    t0 = tent_ref[i * gp]
     jax.lax.while_loop(cond, body, (jnp.int32(0), t0, jnp.max(bt_ref[:])))
 
     t_out[:] = bt_ref[:]
@@ -472,7 +474,8 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
 
     vmem_rows = bc.rows.size * 4 <= VMEM_ROWS_BUDGET
     kernel = functools.partial(
-        _kernel, group=bc.group, any_hit=any_hit, vmem_rows=vmem_rows
+        _kernel, group=bc.group, any_hit=any_hit, vmem_rows=vmem_rows,
+        gp=int(bc.gaabb.shape[1]),
     )
     out_shape = [
         jax.ShapeDtypeStruct((rp, 1), jnp.float32),
