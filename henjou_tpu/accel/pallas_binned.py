@@ -155,14 +155,16 @@ def pack_binned_np(tri_verts) -> BinnedClusters:
     )
 
 
-def _tile_worklists(gaabb, num_groups, ox, oy, oz, dx, dy, dz, tmin, tmax, rt):
-    """Dense XLA prepass: per-tile (group worklist, t_enter, count).
+def _tile_worklists(bc, ox, oy, oz, dx, dy, dz, tmin, tmax, rt):
+    """Dense XLA prepass: per-tile (group worklist, t_enter, count) plus —
+    for grouped scenes — a per-(tile, cluster) need BITMASK.
 
     Conservative interval slab test (same arithmetic as the in-kernel
-    scalar frustum, pallas_cluster_hbm.py:157-181) of every ray tile's
-    (origin box x inverse-direction box) against every group AABB, fully
-    vectorized as one [T, G] computation; then a near-to-far argsort of
-    the needed groups per tile."""
+    scalar frustum the HBM kernel used, pallas_cluster_hbm.py:157-181) of
+    every ray tile's (origin box x inverse-direction box) against every
+    box, fully vectorized as [T, B] computations; a near-to-far argsort
+    of the needed groups per tile; and cluster-level need packed 32/word
+    so big scenes get cluster-granular culling from ~50 KB of SMEM."""
     n = ox.shape[0]
     t = n // rt
 
@@ -178,52 +180,80 @@ def _tile_worklists(gaabb, num_groups, ox, oy, oz, dx, dy, dz, tmin, tmax, rt):
     i_b = [tile_minmax(inv(v)) for v in (dx, dy, dz)]
     tmin_lo = jnp.min(tmin.reshape(t, rt), axis=1, keepdims=True)
     tmax_hi = jnp.max(tmax.reshape(t, rt), axis=1, keepdims=True)
+    alive = tmax_hi > tmin_lo  # all-dead tiles (zero-width rays) skip all
 
-    gp = gaabb.shape[1]
-    t_enter = jnp.broadcast_to(tmin_lo, (t, gp))
-    t_exit = jnp.broadcast_to(tmax_hi, (t, gp))
-    # direction-free lower bound: rays are unit-speed, so reaching a box
-    # takes at least the L2 gap between the tile's origin box and the
-    # cluster box. For mixed-direction tiles (whose slab intervals are
-    # infinite) this is the only source of near-to-far ordering, and it
-    # makes origin-sorted pools cullable without per-trace sorting.
-    gap_sq = jnp.zeros((t, gp), jnp.float32)
-    for ax in range(3):
-        mn = gaabb[ax][None, :]
-        mx = gaabb[3 + ax][None, :]
-        o_lo, o_hi = o_b[ax]
-        il, ih = i_b[ax]
-        c0 = mn - o_hi
-        c1 = mn - o_lo
-        d0 = mx - o_hi
-        d1 = mx - o_lo
-        p = (c0 * il, c0 * ih, c1 * il, c1 * ih,
-             d0 * il, d0 * ih, d1 * il, d1 * ih)
-        lo8 = jnp.minimum(
-            jnp.minimum(jnp.minimum(p[0], p[1]), jnp.minimum(p[2], p[3])),
-            jnp.minimum(jnp.minimum(p[4], p[5]), jnp.minimum(p[6], p[7])),
-        )
-        hi8 = jnp.maximum(
-            jnp.maximum(jnp.maximum(p[0], p[1]), jnp.maximum(p[2], p[3])),
-            jnp.maximum(jnp.maximum(p[4], p[5]), jnp.maximum(p[6], p[7])),
-        )
-        t_enter = jnp.maximum(t_enter, lo8)
-        t_exit = jnp.minimum(t_exit, hi8)
-        gap = jnp.maximum(jnp.maximum(c0, -d1), 0.0)  # mn - o_hi | o_lo - mx
-        gap_sq = gap_sq + gap * gap
+    def interval_need(boxes, n_valid):
+        """(need, t_enter) of every tile against every box in `boxes`."""
+        bp = boxes.shape[1]
+        t_enter = jnp.broadcast_to(tmin_lo, (t, bp))
+        t_exit = jnp.broadcast_to(tmax_hi, (t, bp))
+        # direction-free lower bound: rays are unit-speed, so reaching a
+        # box takes at least the L2 gap from the tile's origin box. For
+        # mixed-direction tiles (whose slab intervals are infinite) this
+        # is the only source of near-to-far ordering.
+        gap_sq = jnp.zeros((t, bp), jnp.float32)
+        for ax in range(3):
+            mn = boxes[ax][None, :]
+            mx = boxes[3 + ax][None, :]
+            o_lo, o_hi = o_b[ax]
+            il, ih = i_b[ax]
+            c0 = mn - o_hi
+            c1 = mn - o_lo
+            d0 = mx - o_hi
+            d1 = mx - o_lo
+            p = (c0 * il, c0 * ih, c1 * il, c1 * ih,
+                 d0 * il, d0 * ih, d1 * il, d1 * ih)
+            lo8 = jnp.minimum(
+                jnp.minimum(jnp.minimum(p[0], p[1]), jnp.minimum(p[2], p[3])),
+                jnp.minimum(jnp.minimum(p[4], p[5]), jnp.minimum(p[6], p[7])),
+            )
+            hi8 = jnp.maximum(
+                jnp.maximum(jnp.maximum(p[0], p[1]), jnp.maximum(p[2], p[3])),
+                jnp.maximum(jnp.maximum(p[4], p[5]), jnp.maximum(p[6], p[7])),
+            )
+            t_enter = jnp.maximum(t_enter, lo8)
+            t_exit = jnp.minimum(t_exit, hi8)
+            gap = jnp.maximum(jnp.maximum(c0, -d1), 0.0)  # mn-o_hi | o_lo-mx
+            gap_sq = gap_sq + gap * gap
 
-    t_enter = jnp.maximum(t_enter, jnp.sqrt(gap_sq))
-    need = (
-        (t_enter <= t_exit)
-        & (jax.lax.broadcasted_iota(jnp.int32, (t, gp), 1) < num_groups)
-        & (tmax_hi > tmin_lo)  # all-dead tiles (zero-width rays) skip everything
-    )
+        t_enter = jnp.maximum(t_enter, jnp.sqrt(gap_sq))
+        need = (
+            (t_enter <= t_exit)
+            & (jax.lax.broadcasted_iota(jnp.int32, (t, bp), 1) < n_valid)
+            & alive
+        )
+        return need, t_enter
+
+    need, t_enter = interval_need(bc.gaabb, bc.num_groups)
     tkey = jnp.where(need, t_enter, _BIG)
     perm, tent = _bitonic_rows(tkey)
     count = jnp.sum(need.astype(jnp.int32), axis=1)
+
+    if bc.group > 1:
+        # cluster-granular bits: bit c of word [i, c//32] = tile i needs
+        # cluster c. Replaces the kernel's [RT,1] per-cluster slab tests
+        # (~0.7 us each) with one scalar bit test.
+        ctot = bc.num_groups * bc.group
+        w32 = (ctot + 31) // 32
+        need_c, _ = interval_need(bc.aabb, ctot)
+        need_c = need_c[:, : w32 * 32]
+        if need_c.shape[1] < w32 * 32:
+            need_c = jnp.pad(
+                need_c, ((0, 0), (0, w32 * 32 - need_c.shape[1]))
+            )
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        words = jnp.sum(
+            need_c.reshape(t, w32, 32).astype(jnp.uint32) << shifts,
+            axis=2,
+            dtype=jnp.uint32,
+        )
+        bits = jax.lax.bitcast_convert_type(words, jnp.int32).reshape(-1)
+    else:
+        bits = jnp.zeros((8,), jnp.int32)
+
     # FLAT 1-D worklists: 2-D SMEM prefetch operands pad their minor dim
     # to 128 lanes (4x SMEM waste -> OOM at small ray tiles); 1-D don't
-    return perm.reshape(-1), tent.reshape(-1), count
+    return perm.reshape(-1), tent.reshape(-1), count, bits
 
 
 def _bitonic_rows(key):
@@ -265,8 +295,9 @@ def _kernel(
     list_ref,  # SMEM prefetch [T*Gp] i32 (flat; see _tile_worklists)
     tent_ref,  # SMEM prefetch [T*Gp] f32
     count_ref,  # SMEM prefetch [T] i32
+    bits_ref,  # SMEM prefetch [T*W32] i32 cluster-need bitmask (group > 1)
     rows_ref,  # ANY (HBM) [Ctot*16, K]
-    aabb_ref,  # SMEM [8, Cp] per-cluster (used when group > 1)
+    aabb_ref,  # SMEM [8, Cp] per-cluster boxes (slab culling, group > 1)
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
     tmin_ref, tmax_ref,
@@ -274,7 +305,7 @@ def _kernel(
     bt_ref, bp_ref, bu_ref, bv_ref,  # VMEM scratch [RT,1] best-hit state
     buf_ref,  # VMEM [group*16, K] staging
     sem_ref,  # DMA semaphore
-    *, group: int, any_hit: bool, vmem_rows: bool, gp: int,
+    *, group: int, any_hit: bool, vmem_rows: bool, gp: int, w32: int,
 ):
     i = pl.program_id(0)
     ox = ox_ref[:]  # [RT, 1]
@@ -398,12 +429,22 @@ def _kernel(
             # the prepass already slab-tested this cluster for the tile
             mt_block(src_ref, base)
         else:
+            # cluster-need bits from the dense prepass gate the [RT,1]
+            # slab (one scalar bit test vs ~0.7 us for a failing slab);
+            # the slab still runs for passers because it culls against
+            # the CURRENT best-t, which shrinks during the walk
             for j in range(group):
-                need = slab_need(aabb_ref, gid * group + j, bt_ref[:])
+                cid = gid * group + j
+                word = bits_ref[i * w32 + (cid >> 5)]
+                bit = (word >> (cid & 31)) & 1
 
-                @pl.when(need)
-                def _(j=j):
-                    mt_block(src_ref, base + j * 16)
+                @pl.when(bit != 0)
+                def _(j=j, cid=cid):
+                    need = slab_need(aabb_ref, cid, bt_ref[:])
+
+                    @pl.when(need)
+                    def _(j=j):
+                        mt_block(src_ref, base + j * 16)
 
         btmax2 = jnp.max(bt_ref[:])
         if any_hit:
@@ -459,8 +500,8 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
 
     ox, oy, oz = ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]
     dx, dy, dz = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
-    worklist, tent, count = _tile_worklists(
-        bc.gaabb, bc.num_groups, ox, oy, oz, dx, dy, dz, tmin, tmax, RAY_TILE
+    worklist, tent, count, bits = _tile_worklists(
+        bc, ox, oy, oz, dx, dy, dz, tmin, tmax, RAY_TILE
     )
 
     def cols(x):
@@ -469,13 +510,14 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
     ray_spec = pl.BlockSpec(
         (RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
     vmem_rows = bc.rows.size * 4 <= VMEM_ROWS_BUDGET
+    ctot = bc.num_groups * bc.group
     kernel = functools.partial(
         _kernel, group=bc.group, any_hit=any_hit, vmem_rows=vmem_rows,
-        gp=int(bc.gaabb.shape[1]),
+        gp=int(bc.gaabb.shape[1]), w32=(ctot + 31) // 32,
     )
     out_shape = [
         jax.ShapeDtypeStruct((rp, 1), jnp.float32),
@@ -487,9 +529,10 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
         pl.BlockSpec(memory_space=pltpu.VMEM) if vmem_rows else hbm
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(grid,),
-        in_specs=[rows_spec, smem] + [ray_spec] * 8,
+        in_specs=[rows_spec, pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
         scratch_shapes=[
             pltpu.VMEM((RAY_TILE, 1), jnp.float32),
@@ -508,7 +551,7 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
         out_shape=out_shape,
         interpret=interpret,
     )(
-        worklist, tent, count,
+        worklist, tent, count, bits,
         bc.rows, bc.aabb,
         cols(ox), cols(oy), cols(oz),
         cols(dx), cols(dy), cols(dz),

@@ -124,6 +124,24 @@ def main():
     lo, hi = a2[0:3].min(axis=1), a2[3:6].max(axis=1)
     ifn_s, ofn_s = make_sorted_intersector(ifn_raw, ofn_raw, lo, hi)
 
+    from henjou_tpu.accel.pallas_binned import (
+        make_binned_intersector,
+        pack_binned_np,
+    )
+    from henjou_tpu.accel.sorting import make_bitonic_sorted_intersector
+
+    t0 = time.perf_counter()
+    bc = pack_binned_np(np.asarray(frame.tri_verts))
+    print(
+        f"binned build: clusters={bc.num_clusters} group={bc.group} "
+        f"groups={bc.num_groups} in {time.perf_counter()-t0:.1f}s",
+        flush=True,
+    )
+    ifn_b, ofn_b = make_binned_intersector(bc)
+    ifn_bs, ofn_bs = make_bitonic_sorted_intersector(
+        ifn_b, ofn_b, np.asarray(bc.scene_lo), np.asarray(bc.scene_hi)
+    )
+
     sky = Sky(constant_color=jnp.asarray([0.4, 0.5, 0.7]), intensity=jnp.asarray(1.0))
     cam = make_camera((0.0, 2.2, -6.5), (0.0, -0.12, 1.0), np.radians(50.0))
     W, H = 1920, 1080
@@ -133,8 +151,8 @@ def main():
     beval = lambda h, wo, wi: bsdf_eval(h, wo, wi, None, False, False)
 
     for name, ifn, ofn in (
-        ("sorted", ifn_s, ofn_s),
-        ("unsorted", ifn_raw, ofn_raw),
+        ("binned+bitonic", ifn_bs, ofn_bs),
+        ("hbm sorted", ifn_s, ofn_s),
     ):
         @jax.jit
         def run(ifn=ifn, ofn=ofn):
