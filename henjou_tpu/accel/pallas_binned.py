@@ -392,6 +392,15 @@ def _kernel(
             & (tt < best_t_j)
             & (ordr >= 0)
         )
+        if any_hit:
+            # occlusion only needs a per-lane hit FLAG: skip the argmin /
+            # attribute picks (~40% of the block's flops), and collapse a
+            # hit lane's best-t to tmin so the tile-wide early exit
+            # tightens as lanes get occluded
+            hit_any = jnp.any(ok, axis=1, keepdims=True)
+            bt_ref[:] = jnp.where(hit_any, tmin, best_t_j)
+            bp_ref[:] = jnp.where(hit_any, 1, bp_ref[:])
+            return
         tt = jnp.where(ok, tt, _BIG)
         bt_k = jnp.min(tt, axis=1, keepdims=True)
         hit_any = bt_k < best_t_j

@@ -257,12 +257,40 @@ def wavefront_render(
 
         if use_mis:
             # ---- independent BSDF-branch trace (rt.h:382-420) ----
+            # The branch hit is only USED when it's a light or a miss, so
+            # instead of a full closest-hit kernel walk it decomposes
+            # into (a) a dense closest hit against the few emissive
+            # triangles and (b) a BOUNDED any-hit occlusion query up to
+            # that light (or the scene exit) — the bound makes the
+            # kernel's near-to-far early exit bite. The payload fill is
+            # the standard one, fed the synthesized intersect result, so
+            # textured/normal-mapped lights shade identically.
+            from henjou_tpu.sampling.light_sample import intersect_lights
+
             brdf_b, local_wi_b, pt_pdf_b, st = bsdf_sample(hit, local_wo, st)
             wi_b = local_to_world(local_wi_b, t, n, b)
             cos1_b = absdot(wi_b, n)
+            lane_tmax_b = jnp.where(alive, TMAX_RAY, 0.0)
+            t_l, prim_l, u_l, v_l, hit_l = intersect_lights(
+                frame, hit.position, wi_b, EPS_RAY, lane_tmax_b
+            )
+            blocked_b = occluded(
+                frame, hit.position, wi_b, EPS_RAY,
+                jnp.where(hit_l, t_l * (1.0 - SHADOW_EPS_REL), lane_tmax_b),
+                occluded_fn,
+            )
+            vis_l = hit_l & ~blocked_b
+
+            def light_isect(tri, o, d, tn, tx):
+                return (
+                    jnp.where(vis_l, t_l, jnp.inf),
+                    jnp.where(vis_l, prim_l, -1),
+                    u_l, v_l, vis_l,
+                )
+
             hit_b = closest_hit(
                 frame, sky, hit.position, wi_b, EPS_RAY,
-                jnp.where(alive, TMAX_RAY, 0.0), intersect_fn
+                lane_tmax_b, light_isect,
             )
             n_tr = n_tr + jnp.sum(alive.astype(jnp.float32))
             cos2_b = absdot(-wi_b, hit_b.normal)
@@ -286,7 +314,7 @@ def wavefront_render(
                 * brdf_b
             )
             take_hit = alive & hit_b.is_hit & hit_b.is_light
-            take_miss = alive & ~hit_b.is_hit
+            take_miss = alive & ~hit_l & ~blocked_b
             lte = lte + jnp.where(
                 take_hit[:, None],
                 contrib_hit,

@@ -91,3 +91,75 @@ def light_pdf(frame: FrameScene, prim: jnp.ndarray) -> jnp.ndarray:
     areas = 0.5 * length(cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]))
     area = areas[jnp.maximum(prim, 0)]
     return 1.0 / jnp.maximum(area * count, 1e-12)
+
+
+def intersect_lights(frame: FrameScene, ray_o, ray_d, tmin, tmax):
+    """Closest hit against EMISSIVE triangles only: dense [R, L]
+    Moller-Trumbore, no acceleration structure (L is small).
+
+    The MIS BSDF-branch trace (rt.h:382-420) only USES its hit when the
+    hit is a light (or a miss); so the wavefront engine traces lights
+    densely here and resolves occlusion with a cheap bounded any-hit
+    query instead of a full closest-hit kernel walk.
+
+    Returns (t, prim, u, v, hit) with the intersector contract.
+    """
+    import jax.numpy as jnp
+
+    dev = frame.device
+    n = ray_o.shape[0]
+    n_l = int(dev.light_prim_ids.shape[0])
+    if n_l == 0:
+        zero = jnp.zeros((n,), jnp.float32)
+        return (
+            jnp.full((n,), jnp.inf),
+            jnp.full((n,), -1, jnp.int32),
+            zero,
+            zero,
+            jnp.zeros((n,), bool),
+        )
+    lp = dev.light_prim_ids
+    tv = frame.tri_verts[lp]  # [L,3,3] loop-invariant (XLA hoists)
+    v0 = tv[:, 0][None]  # [1,L,3]
+    e1 = (tv[:, 1] - tv[:, 0])[None]
+    e2 = (tv[:, 2] - tv[:, 0])[None]
+    o = ray_o[:, None, :]
+    d = ray_d[:, None, :]
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))[:, None]
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))[:, None]
+
+    pv = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pv, -1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o - v0
+    uu = jnp.sum(tvec * pv, -1) * inv_det
+    qv = jnp.cross(tvec, e1)
+    vv = jnp.sum(d * qv, -1) * inv_det
+    tt = jnp.sum(e2 * qv, -1) * inv_det
+    ok = (
+        (jnp.abs(det) > 1e-12)
+        & (uu >= 0.0)
+        & (vv >= 0.0)
+        & (uu + vv <= 1.0)
+        & (tt > tmin_b)
+        & (tt < tmax_b)
+    )
+    tt = jnp.where(ok, tt, jnp.inf)
+    t_best = jnp.min(tt, axis=1)
+    li = jnp.argmin(tt, axis=1)
+    pick = (
+        jnp.arange(n_l, dtype=jnp.int32)[None, :] == li[:, None]
+    )
+    u_b = jnp.sum(jnp.where(pick, uu, 0.0), axis=1)
+    v_b = jnp.sum(jnp.where(pick, vv, 0.0), axis=1)
+    prim = jnp.sum(
+        jnp.where(pick, lp[None].astype(jnp.int32), 0), axis=1
+    ).astype(jnp.int32)
+    hit = jnp.isfinite(t_best)
+    return (
+        jnp.where(hit, t_best, jnp.inf),
+        jnp.where(hit, prim, -1),
+        u_b,
+        v_b,
+        hit,
+    )
