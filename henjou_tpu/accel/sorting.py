@@ -113,13 +113,21 @@ def make_bitonic_sorted_intersector(intersect_fn, occluded_fn, lo, hi):
             key = ray_sort_key(ray_o, ray_d, lo_j, inv_extent)
             key = jnp.where(tmax_b > tmin_b, key, DEAD_KEY)
             lane = jnp.arange(r, dtype=jnp.int32)
-            (_, ox, oy, oz, dx, dy, dz, tn, tx, lid) = bitonic_sort(
-                key,
+            # a scalar tmin is permutation-invariant: don't pay a sort plane
+            scalar_tmin = jnp.ndim(tmin) == 0
+            planes = (
                 ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
                 ray_d[:, 0], ray_d[:, 1], ray_d[:, 2],
-                tmin_b, tmax_b, lane,
-                interpret=interp,
             )
+            if scalar_tmin:
+                (_, ox, oy, oz, dx, dy, dz, tx, lid) = bitonic_sort(
+                    key, *planes, tmax_b, lane, interpret=interp
+                )
+                tn = tmin_b
+            else:
+                (_, ox, oy, oz, dx, dy, dz, tn, tx, lid) = bitonic_sort(
+                    key, *planes, tmin_b, tmax_b, lane, interpret=interp
+                )
             out = fn(
                 tri, jnp.stack([ox, oy, oz], axis=1),
                 jnp.stack([dx, dy, dz], axis=1), tn, tx,
