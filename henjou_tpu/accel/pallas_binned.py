@@ -416,23 +416,40 @@ def _kernel(
 
     n_work = count_ref[i]
 
+    def _dma(li_s, slot):
+        gid_s = list_ref[i * gp + li_s]
+        return pltpu.make_async_copy(
+            rows_ref.at[pl.ds(gid_s * group * 16, group * 16)],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    if not vmem_rows:
+        # double-buffered streaming: group li+1's rows copy while li's
+        # Moller-Trumbore runs; a possibly-outstanding prefetch is
+        # drained after the loop (early exit leaves exactly one)
+        @pl.when(n_work > 0)
+        def _():
+            _dma(0, 0).start()
+
     def cond(carry):
-        li, tnext, btmax = carry
+        li, tnext, btmax, slot = carry
         return (li < n_work) & (tnext <= btmax)
 
     def body(carry):
-        li, tnext, btmax = carry
+        li, tnext, btmax, slot = carry
         gid = list_ref[i * gp + li]
         if vmem_rows:
             src_ref, base = rows_ref, gid * group * 16
         else:
-            dma = pltpu.make_async_copy(
-                rows_ref.at[pl.ds(gid * group * 16, group * 16)],
-                buf_ref, sem_ref,
-            )
-            dma.start()
-            dma.wait()
-            src_ref, base = buf_ref, 0
+            _dma(li, slot).wait()
+            li_n = li + 1
+
+            @pl.when(li_n < n_work)
+            def _():
+                _dma(li_n, 1 - slot).start()
+
+            src_ref, base = buf_ref.at[slot], 0
 
         if group == 1:
             # the prepass already slab-tested this cluster for the tile
@@ -472,10 +489,17 @@ def _kernel(
             btmax2 = jnp.where(jnp.all(bp_ref[:] >= 0), -_BIG, btmax2)
         li2 = li + (2 if (group == 1 and vmem_rows) else 1)
         tnext2 = tent_ref[i * gp + jnp.minimum(li2, gp - 1)]
-        return li2, tnext2, btmax2
+        return li2, tnext2, btmax2, 1 - slot
 
     t0 = tent_ref[i * gp]
-    jax.lax.while_loop(cond, body, (jnp.int32(0), t0, jnp.max(bt_ref[:])))
+    li_f, _, _, slot_f = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, jnp.max(bt_ref[:]), jnp.int32(0))
+    )
+    if not vmem_rows:
+        # drain the prefetch issued for the entry the early exit skipped
+        @pl.when(li_f < n_work)
+        def _():
+            _dma(li_f, slot_f).wait()
 
     t_out[:] = bt_ref[:]
     prim_out[:] = bp_ref[:]
@@ -559,10 +583,12 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
             pltpu.VMEM((RAY_TILE, 1), jnp.int32),
             pltpu.VMEM((RAY_TILE, 1), jnp.float32),
             pltpu.VMEM((RAY_TILE, 1), jnp.float32),
-            # staging + semaphore exist (unused) in vmem_rows mode too:
+            # staging + semaphores exist (unused) in vmem_rows mode too:
             # keeps the kernel signature static
-            pltpu.VMEM((16 if vmem_rows else bc.group * 16, K), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM(
+                (2, 16 if vmem_rows else bc.group * 16, K), jnp.float32
+            ),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     t, prim, u, v = pl.pallas_call(

@@ -196,3 +196,36 @@ def test_bitonic_wrapper_dead_lanes_and_parity():
         tris, o, d, 1e-3, tmax=jnp.full((n,), 2.0)
     )
     assert (np.asarray(occ) == np.asarray(occ_ref)).all()
+
+
+def test_binned_dma_double_buffer_interpret():
+    """Force the streaming (non-VMEM-resident) path: double-buffered
+    group DMA with post-loop prefetch drain must match bruteforce."""
+    import henjou_tpu.accel.pallas_binned as pb
+
+    rng = np.random.default_rng(7)
+    t = 900
+    c = rng.uniform(-3, 3, (t, 1, 3))
+    tris = jnp.asarray(
+        (c + rng.normal(scale=0.3, size=(t, 3, 3))).astype(np.float32)
+    )
+    old_fine, old_budget = pb.MAX_FINE_CLUSTERS, pb.VMEM_ROWS_BUDGET
+    pb.MAX_FINE_CLUSTERS = 2
+    pb.VMEM_ROWS_BUDGET = 0
+    try:
+        bc = pb.pack_binned_np(np.asarray(tris))
+        n = 512
+        o = jnp.asarray(rng.uniform(-4, 4, (n, 3)).astype(np.float32))
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d)
+        t_b, p_b, _, _, h_b = intersect_bruteforce(tris, o, d, 1e-3)
+        t_p, p_p, _, _, h_p = pb.intersect_binned(bc, o, d, 1e-3, interpret=True)
+    finally:
+        pb.MAX_FINE_CLUSTERS, pb.VMEM_ROWS_BUDGET = old_fine, old_budget
+    h_b = np.asarray(h_b)
+    assert (h_b == np.asarray(h_p)).all()
+    np.testing.assert_allclose(
+        np.asarray(t_p)[h_b], np.asarray(t_b)[h_b], rtol=1e-4
+    )
+    assert (np.asarray(p_p)[h_b] == np.asarray(p_b)[h_b]).all()
