@@ -119,12 +119,11 @@ def wavefront_render(
     szero_i = jnp.asarray(spp_offset).astype(jnp.int32) * 0
     szero_u = jnp.asarray(spp_offset).astype(jnp.uint32) * 0
 
-    film = WavefrontFilm(
-        color=jnp.zeros((n_pixels, 3), jnp.float32) + szero_f,
-        albedo=jnp.zeros((n_pixels, 3), jnp.float32) + szero_f,
-        normal=jnp.zeros((n_pixels, 3), jnp.float32) + szero_f,
-        n_traces=jnp.zeros((), jnp.float32) + szero_f,
-    )
+    # film rides the loop PACKED [P, 9] (color|albedo|normal): TPU
+    # scatter-adds cost per ROW, so one 9-wide scatter replaces three
+    # 3-wide ones (profiled 0.89 ms EACH per iteration at 512^2)
+    film9 = jnp.zeros((n_pixels, 9), jnp.float32) + szero_f
+    n_traces0 = jnp.zeros((), jnp.float32) + szero_f
 
     assert total_samples < (1 << 31)
     # how many times a lane batch can wrap past the pixel count in one
@@ -153,7 +152,8 @@ def wavefront_render(
     lane_ids = jnp.arange(lanes, dtype=jnp.uint32)
 
     class Carry(NamedTuple):
-        film: WavefrontFilm
+        film9: jnp.ndarray
+        n_traces: jnp.ndarray
         counter: jnp.ndarray  # total samples assigned (monotonic, for cond)
         ctr_pix: jnp.ndarray  # next sample's pixel (wrap counter)
         ctr_spp: jnp.ndarray  # next sample's spp index (wrap counter)
@@ -170,7 +170,8 @@ def wavefront_render(
         it: jnp.ndarray
 
     carry0 = Carry(
-        film=film,
+        film9=film9,
+        n_traces=n_traces0,
         counter=jnp.asarray(min(lanes, total_samples), jnp.int32) + szero_i,
         ctr_pix=jnp.asarray(lanes % n_pixels, jnp.int32) + szero_i,
         ctr_spp=jnp.asarray(lanes // n_pixels, jnp.int32) + szero_i,
@@ -203,7 +204,7 @@ def wavefront_render(
         # ---- radiance trace ----
         lane_tmax = jnp.where(alive, TMAX_RAY, 0.0)
         hit = closest_hit(frame, sky, c.o, c.d, EPS_RAY, lane_tmax, intersect_fn)
-        n_tr = c.film.n_traces + jnp.sum(alive.astype(jnp.float32))
+        n_tr = c.n_traces + jnp.sum(alive.astype(jnp.float32))
 
         first = c.depth == 0
         aov_a = jnp.where(first[:, None], hit.basecolor, c.aov_a)
@@ -336,17 +337,12 @@ def wavefront_render(
         new_o = jnp.where(continuing[:, None], hit.position, c.o)
         new_d = jnp.where(continuing[:, None], wi, c.d)
 
-        # ---- film accumulation for finished lanes (one scatter set) ----
+        # ---- film accumulation for finished lanes (ONE packed scatter) ----
         donef = done[:, None]
-        fcolor = c.film.color.at[c.pix].add(
-            jnp.where(donef, lte, 0.0), mode="drop"
+        packed = jnp.where(
+            donef, jnp.concatenate([lte, aov_a, aov_n], axis=1), 0.0
         )
-        falbedo = c.film.albedo.at[c.pix].add(
-            jnp.where(donef, aov_a, 0.0), mode="drop"
-        )
-        fnormal = c.film.normal.at[c.pix].add(
-            jnp.where(donef, aov_n, 0.0), mode="drop"
-        )
+        film9_2 = c.film9.at[c.pix].add(packed, mode="drop")
 
         # ---- refill finished lanes with fresh samples (wrap counters:
         # (pixel, spp) arithmetic only — no integer div/mod) ----
@@ -415,9 +411,8 @@ def wavefront_render(
             valid2 = vi != 0
 
         return Carry(
-            film=WavefrontFilm(
-                color=fcolor, albedo=falbedo, normal=fnormal, n_traces=n_tr
-            ),
+            film9=film9_2,
+            n_traces=n_tr,
             counter=counter2,
             ctr_pix=ctr_pix2,
             ctr_spp=ctr_spp2,
@@ -435,7 +430,12 @@ def wavefront_render(
         )
 
     out = jax.lax.while_loop(cond, body, carry0)
-    return out.film
+    return WavefrontFilm(
+        color=out.film9[:, 0:3],
+        albedo=out.film9[:, 3:6],
+        normal=out.film9[:, 6:9],
+        n_traces=out.n_traces,
+    )
 
 
 def wavefront_pathtrace(
