@@ -272,7 +272,7 @@ def wavefront_render(
             wi_b = local_to_world(local_wi_b, t, n, b)
             cos1_b = absdot(wi_b, n)
             lane_tmax_b = jnp.where(alive, TMAX_RAY, 0.0)
-            t_l, prim_l, u_l, v_l, hit_l = intersect_lights(
+            t_l, prim_l, u_l, v_l, hit_l, area_l = intersect_lights(
                 frame, hit.position, wi_b, EPS_RAY, lane_tmax_b
             )
             blocked_b = occluded(
@@ -297,10 +297,11 @@ def wavefront_render(
             cos2_b = absdot(-wi_b, hit_b.normal)
             dist_b = jnp.maximum(length(hit_b.position - hit.position), 1e-12)
             inv_g = dist_b * dist_b / jnp.maximum(cos2_b, 1e-12)
-            lp = jnp.where(
-                hit.is_specular, 0.0,
-                light_pdf_fn(frame, hit_b.primitive_id) * inv_g,
-            )
+            # reverse light pdf from the light-table area (same formula
+            # as light_pdf_fn, without its [R]-row area gather)
+            n_lights_f = jnp.asarray(frame.device.num_lights, jnp.float32)
+            rev_pdf = 1.0 / jnp.maximum(area_l * n_lights_f, 1e-12)
+            lp = jnp.where(hit.is_specular, 0.0, rev_pdf * inv_g)
             w_bsdf = pt_pdf_b / jnp.maximum(pt_pdf_b + lp, 1e-12)
             contrib_hit = (
                 thr

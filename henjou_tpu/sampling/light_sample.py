@@ -102,7 +102,8 @@ def intersect_lights(frame: FrameScene, ray_o, ray_d, tmin, tmax):
     densely here and resolves occlusion with a cheap bounded any-hit
     query instead of a full closest-hit kernel walk.
 
-    Returns (t, prim, u, v, hit) with the intersector contract.
+    Returns (t, prim, u, v, hit, area) — the intersector contract plus
+    the hit light's triangle area (for the MIS reverse pdf).
     """
     import jax.numpy as jnp
 
@@ -117,6 +118,7 @@ def intersect_lights(frame: FrameScene, ray_o, ray_d, tmin, tmax):
             zero,
             zero,
             jnp.zeros((n,), bool),
+            zero,
         )
     lp = dev.light_prim_ids
     tv = frame.tri_verts[lp]  # [L,3,3] loop-invariant (XLA hoists)
@@ -156,10 +158,15 @@ def intersect_lights(frame: FrameScene, ray_o, ray_d, tmin, tmax):
         jnp.where(pick, lp[None].astype(jnp.int32), 0), axis=1
     ).astype(jnp.int32)
     hit = jnp.isfinite(t_best)
+    # area of the picked light (for the MIS reverse pdf): selecting from
+    # the [L] table here avoids a 0.5 ms [R]-row gather in light_pdf
+    area_l = 0.5 * jnp.linalg.norm(jnp.cross(e1[0], e2[0]), axis=-1)  # [L]
+    area = jnp.sum(jnp.where(pick, area_l[None], 0.0), axis=1)
     return (
         jnp.where(hit, t_best, jnp.inf),
         jnp.where(hit, prim, -1),
         u_b,
         v_b,
         hit,
+        area,
     )
