@@ -518,7 +518,10 @@ VMEM_ROWS_BUDGET = 4 << 20
 def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
                      any_hit: bool = False, interpret: bool = False,
                      ray_tile: int = RAY_TILE):
-    """Same contract as accel.bruteforce.intersect_bruteforce."""
+    """Same contract as accel.bruteforce.intersect_bruteforce, with one
+    extra requirement: ray directions must be UNIT LENGTH (the prepass's
+    direction-free t_enter bound and the scene-exit tmax clamp measure t
+    in Euclidean distance). All in-repo callers trace normalized rays."""
     RAY_TILE = ray_tile
     r = ray_o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))

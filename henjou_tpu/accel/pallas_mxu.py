@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from henjou_tpu.accel.pallas_cluster import K, _BIG
+from henjou_tpu.accel.pallas_cluster_hbm import _expand_bits_np
 from henjou_tpu.math.constants import TMAX_RAY
 
 SC = 16  # clusters per supercluster (SC*K = 2048 triangles)
@@ -57,14 +58,6 @@ class MxuClusters:
     centers: jnp.ndarray  # [4, C2p] supercluster recenter points
     num_clusters: int = dataclasses.field(metadata=dict(static=True))
     num_super: int = dataclasses.field(metadata=dict(static=True))
-
-
-def _expand_bits_np(v):
-    v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
-    v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
-    v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
-    v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
-    return v
 
 
 def pack_clusters_mxu_np(tri_verts) -> MxuClusters:

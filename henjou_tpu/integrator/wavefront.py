@@ -44,7 +44,6 @@ from henjou_tpu.math.vec import (
 )
 from henjou_tpu.runtime.camera import Camera, camera_rays
 from henjou_tpu.sampling.cmj import CMJState, cmj_1d, cmj_2d, make_cmj_state
-from henjou_tpu.sampling.light_sample import light_pdf as light_pdf_fn
 from henjou_tpu.sampling.light_sample import sample_light
 from henjou_tpu.scene.scenedata import FrameScene
 

@@ -113,6 +113,14 @@ class Renderer:
         """Upload scene + compile-ready closures (reference build(),
         renderer.h:1015-1039)."""
         assert self.scene is not None, "set_scene or load a file first"
+        # a (re)build invalidates everything keyed on the previous scene:
+        # compiled steps close over sky/BSDF tables, the accel cache is
+        # keyed only on transform bytes, and temporal history is per-scene
+        self._closure_cache = {}
+        self._wf_cache = {}
+        self._accel_cache = None
+        self._temporal_history = None
+        self._temporal_prev_frame = None
         self.device_scene = build_device_scene(self.scene)
         opt = self.option
         ibl_tex = None
@@ -478,7 +486,7 @@ class Renderer:
         # when the transforms didn't change (static geometry).
         accel_key = np.asarray(transforms).tobytes()
         cache = getattr(self, "_accel_cache", None)
-        if cache is not None and cache[0] == accel_key:
+        if cache and cache[0] == accel_key:
             accel = cache[1]
         else:
             accel = self._select_accel(frame_scene)
@@ -618,7 +626,11 @@ class Renderer:
         bsdf_pdf = getattr(self, "bsdf_pdf", None)
         integrator = self.integrator
         sky = self.sky
-        lanes = min(1 << 16, max(width * height, 1 << 12))
+        # lanes must be a power of two: the bitonic wrapper and pool sort
+        # silently fall back to argsort+gathers otherwise (~6x slower)
+        lanes = min(
+            1 << 16, max(1 << 12, 1 << (width * height - 1).bit_length())
+        )
 
         use_args = accel is not None  # see render_frame miscompile note
         if use_args:
@@ -788,7 +800,7 @@ class Renderer:
             )
             if os.path.exists(ckpt):
                 os.remove(ckpt)  # frame complete
-            img = self._finalize(aovs)
+            img = self._finalize(aovs, frame=frame)
             u8 = np.asarray(float_to_srgb_u8(jnp.asarray(img)))
             name = f"{stamp}{opt.image_name}_{frame:03d}.png"  # renderer.h:1291-1301
             path = os.path.join(opt.image_directory, name)
@@ -808,7 +820,7 @@ class Renderer:
         )
         return written
 
-    def _finalize(self, aovs: dict) -> np.ndarray:
+    def _finalize(self, aovs: dict, frame: int = None) -> np.ndarray:
         """Default mode = denoiser passthrough (blendFactor 1.0,
         denoiser.h:94-97): the raw color AOV; Denoise/UpScale2X/Temporal
         map to the denoiser kinds (denoiser.h:35-40)."""
@@ -822,13 +834,23 @@ class Renderer:
             albedo = jnp.asarray(aovs["albedo"])
             normal = jnp.asarray(aovs["normal"])
             prev = getattr(self, "_temporal_history", None)
-            if prev is None or prev[0].shape != color.shape:
+            # history is only valid for the immediately preceding frame
+            # of the same sequence (denoiser.h temporal model needs
+            # consecutive frames); anything else restarts spatially
+            prev_frame = getattr(self, "_temporal_prev_frame", None)
+            sequential = (
+                frame is None
+                or prev_frame is None
+                or frame == prev_frame + 1
+            )
+            if prev is None or prev[0].shape != color.shape or not sequential:
                 from henjou_tpu.post.denoise import denoise_atrous
 
                 out = denoise_atrous(color, albedo, normal)
             else:
                 out = denoise_temporal(color, albedo, normal, *prev)
             self._temporal_history = (out, albedo, normal)
+            self._temporal_prev_frame = frame
             return np.asarray(out)
         if mode in (RenderMode.DENOISE, RenderMode.DENOISE_UPSCALE2X):
             from henjou_tpu.post.denoise import denoise_atrous, upscale2x

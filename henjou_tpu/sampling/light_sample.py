@@ -110,6 +110,10 @@ def intersect_lights(frame: FrameScene, ray_o, ray_d, tmin, tmax):
     dev = frame.device
     n = ray_o.shape[0]
     n_l = int(dev.light_prim_ids.shape[0])
+    # light_prim_ids is padded to shape (1,) for zero-light scenes
+    # (scenedata.build_device_scene), so gate on the STATIC true count
+    if int(dev.num_lights) == 0:
+        n_l = 0
     if n_l == 0:
         zero = jnp.zeros((n,), jnp.float32)
         return (
