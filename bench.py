@@ -52,7 +52,7 @@ def main():
 
     width = height = 512
     max_depth = 10
-    spp = 8
+    spp = 16
 
     from henjou_tpu.bsdf.dispatch import bsdf_eval, bsdf_pdf, make_bsdf_sampler
     from henjou_tpu.integrator.wavefront import wavefront_render
