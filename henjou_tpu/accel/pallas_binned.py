@@ -455,16 +455,17 @@ def _kernel(
             # the prepass already slab-tested this cluster for the tile
             mt_block(src_ref, base)
             if vmem_rows:
-                # 2-wide unroll: amortize the while-loop's scalar
-                # bookkeeping over two MT blocks (worklists average
+                # 16-wide unroll: amortize the while-loop's scalar
+                # bookkeeping over up to 16 MT blocks (worklists average
                 # 6-17 entries; loop overhead is a measurable slice)
-                li1 = li + 1
-                t1 = tent_ref[i * gp + jnp.minimum(li1, gp - 1)]
+                for k_un in range(1, 16):
+                    li1 = li + k_un
+                    t1 = tent_ref[i * gp + jnp.minimum(li1, gp - 1)]
 
-                @pl.when((li1 < n_work) & (t1 <= btmax))
-                def _():
-                    gid1 = list_ref[i * gp + li1]
-                    mt_block(rows_ref, gid1 * 16)
+                    @pl.when((li1 < n_work) & (t1 <= btmax))
+                    def _(li1=li1):
+                        gid1 = list_ref[i * gp + li1]
+                        mt_block(rows_ref, gid1 * 16)
         else:
             # cluster-need bits from the dense prepass gate the [RT,1]
             # slab (one scalar bit test vs ~0.7 us for a failing slab);
@@ -487,7 +488,7 @@ def _kernel(
         if any_hit:
             # all lanes occluded -> nothing left to refine
             btmax2 = jnp.where(jnp.all(bp_ref[:] >= 0), -_BIG, btmax2)
-        li2 = li + (2 if (group == 1 and vmem_rows) else 1)
+        li2 = li + (16 if (group == 1 and vmem_rows) else 1)
         tnext2 = tent_ref[i * gp + jnp.minimum(li2, gp - 1)]
         return li2, tnext2, btmax2, 1 - slot
 
