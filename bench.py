@@ -17,6 +17,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent XLA compile cache: the axon backend recompiles everything
+# per process otherwise (~10 min of Mosaic/XLA work before measuring)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -98,33 +98,31 @@ def _sort_kernel(jk_ref, stack_ref, out_ref, buf_ref, *, n_sub: int, interpret: 
 
         return f
 
-    def body(sub, _):
-        j = jk_ref[0, sub]
-        k = jk_ref[1, sub]
-        even = jax.lax.rem(sub, 2) == 0
-        lane = j < LANES
+    # 4-substage unroll: the loop's scalar bookkeeping is a large cost
+    # slice at ~0.2 us/substage, and with a fixed even unroll the
+    # double-buffer parity becomes STATIC (sub = 4s+u, parity = parity
+    # of u) so the even/odd pl.when guards disappear entirely
+    assert n_sub % 4 == 0, n_sub
 
-        @pl.when(even & lane)
-        def _():
-            substage(j, k, out_ref, buf_ref, partner_lane(j))
+    def body(s4, _):
+        for u in range(4):
+            sub = s4 * 4 + u
+            j = jk_ref[0, sub]
+            k = jk_ref[1, sub]
+            src, dst = (out_ref, buf_ref) if u % 2 == 0 else (buf_ref, out_ref)
+            lane = j < LANES
 
-        @pl.when(even & ~lane)
-        def _():
-            substage(j, k, out_ref, buf_ref, partner_sub(j))
+            @pl.when(lane)
+            def _(j=j, k=k, src=src, dst=dst):
+                substage(j, k, src, dst, partner_lane(j))
 
-        @pl.when(~even & lane)
-        def _():
-            substage(j, k, buf_ref, out_ref, partner_lane(j))
-
-        @pl.when(~even & ~lane)
-        def _():
-            substage(j, k, buf_ref, out_ref, partner_sub(j))
+            @pl.when(~lane)
+            def _(j=j, k=k, src=src, dst=dst):
+                substage(j, k, src, dst, partner_sub(j))
 
         return 0
 
-    jax.lax.fori_loop(0, n_sub, body, 0)
-    if n_sub % 2 == 1:
-        out_ref[:] = buf_ref[:]
+    jax.lax.fori_loop(0, n_sub // 4, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -141,6 +139,11 @@ def bitonic_sort(key: jnp.ndarray, *planes: jnp.ndarray, interpret: bool = False
     assert n % (8 * LANES) == 0 and (n & (n - 1)) == 0, n
     s = n // LANES
     subs = _substages(n)
+    # pad the schedule to a multiple of 4 (the kernel unrolls 4 substages
+    # per loop step with static ping-pong parity); a (k=n, j=1) pass is
+    # an ascending compare-exchange on an already-sorted array = no-op
+    while len(subs) % 4:
+        subs.append((n, 1))
     # jk rows: [0]=j, [1]=k
     jk = jnp.asarray(
         np.asarray([[jj for _, jj in subs], [kk for kk, _ in subs]], np.int32)
