@@ -30,6 +30,14 @@ BASELINE_MRAYS = 150.0
 
 
 def main():
+    # known-answer canary: fail loudly if the backend-miscompile
+    # workarounds stopped holding (VERDICT r2 weak #5). Opt out with
+    # HENJOU_SKIP_CANARY=1 (e.g. while iterating on kernels).
+    if os.environ.get("HENJOU_SKIP_CANARY", "0") != "1":
+        from henjou_tpu.runtime.canary import canary_check
+
+        canary_check(strict=True)
+
     from henjou_tpu.accel.pallas_binned import (
         make_binned_intersector as make_pallas_intersector,
         pack_binned_np as pack_clusters,

@@ -15,10 +15,11 @@ lane rolls; d >= 128 are sublane rolls by d/128. The select picks the
 +d / -d neighbour per slot; the slot that selects the wrapped side of the
 circular roll never exists (bit_d(i)=0 implies i+d stays in range), so
 rolls implement the XOR pairing exactly. The substage schedule (j, k)
-lives in SMEM and a `fori_loop` walks it with dynamic-shift rolls —
-measured 0.19 us/substage on a v5e (tools/exp_bitonic4.py), ~190x faster
-than the argsort+gather wrapper, while a fully unrolled network takes
->9 min of Mosaic compile time.
+lives in SMEM, padded to a multiple of 4, and a `fori_loop` walks it 4
+substages per step (static double-buffer parity; see _sort_kernel) with
+dynamic-shift rolls — measured 0.19 us/substage on a v5e
+(tools/exp_bitonic4.py), ~190x faster than the argsort+gather wrapper,
+while a fully unrolled network takes >9 min of Mosaic compile time.
 
 Reference counterpart: none — RT cores hide ray incoherence in hardware;
 this is TPU-native scheduling machinery (SURVEY.md §7 hard part #1/#2).
@@ -51,10 +52,12 @@ def _substages(n: int):
 
 
 def _sort_kernel(jk_ref, stack_ref, out_ref, buf_ref, *, n_sub: int, interpret: bool):
-    """Double-buffered substage walk: even substages read out_ref and
-    write buf_ref, odd ones the reverse; a final copy fixes parity.
-    j and k are traced scalars from SMEM; rolls use dynamic shifts
-    (lane rolls for j < 128, sublane rolls for j >= 128)."""
+    """Double-buffered substage walk, unrolled 4 substages per fori_loop
+    step so the ping-pong parity is STATIC (substage 4s+u reads out_ref
+    when u is even, buf_ref when odd; n_sub % 4 == 0 is guaranteed by the
+    caller's schedule padding, so the final state always lands in
+    out_ref). j and k are traced scalars from SMEM; rolls use dynamic
+    shifts (lane rolls for j < 128, sublane rolls for j >= 128)."""
     p, s, _ = stack_ref.shape
     i_mat = (
         jax.lax.broadcasted_iota(jnp.int32, (s, LANES), 0) * LANES

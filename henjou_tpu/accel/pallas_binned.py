@@ -155,6 +155,111 @@ def pack_binned_np(tri_verts) -> BinnedClusters:
     )
 
 
+def plan_binned_order(tri_verts, geom_ranges=None):
+    """Host-side PLAN for the two-level animated-scene build: the
+    median-split cluster ordering, computed ONCE in object/rest space.
+
+    Cluster tightness is preserved under rigid per-instance motion when
+    clusters never span geometries (a geometry's triangles move together),
+    so the expensive Python-loop median split (pack_binned_np) need not
+    re-run per animated frame — only the AABB/row refresh does
+    (build_binned_from_order, a dense jittable op). This replaces the
+    reference's full per-frame IAS rebuild (renderer.h:257-291,398-490)
+    with an O(T) device refresh.
+
+    geom_ranges: [(start_tri, count), ...] per geometry-instance; each
+    range is ordered independently and padded to a multiple of K.
+    Returns (order [Ctot*K] i32 with -1 pads, num_clusters, group,
+    num_groups)."""
+    tv = np.asarray(tri_verts, np.float32)
+    t = tv.shape[0]
+    if geom_ranges is None:
+        geom_ranges = [(0, t)]
+    order_chunks = []
+    for start, count in geom_ranges:
+        if count == 0:
+            continue
+        cent = tv[start : start + count].mean(axis=1)
+        sub = _median_split_order(cent) + start
+        pad = (-count) % K
+        if pad:
+            sub = np.concatenate([sub, np.full(pad, -1, np.int32)])
+        order_chunks.append(sub)
+    order = np.concatenate(order_chunks) if order_chunks else np.zeros(0, np.int32)
+    c = len(order) // K
+    group = 1 if c <= MAX_FINE_CLUSTERS else SC
+    g = (c + group - 1) // group
+    ctot = g * group
+    if ctot * K > len(order):
+        order = np.concatenate(
+            [order, np.full(ctot * K - len(order), -1, np.int32)]
+        )
+    return order.astype(np.int32), c, group, g
+
+
+@functools.partial(jax.jit, static_argnames=("num_clusters", "group", "num_groups"))
+def build_binned_from_order(
+    tri_verts, order, num_clusters: int, group: int, num_groups: int
+) -> BinnedClusters:
+    """Device-side refresh of BinnedClusters from a fixed cluster order:
+    one gather + dense reductions (jittable; runs per animated frame in
+    ~ms where pack_binned_np's host median split took the frame budget).
+
+    `tri_verts` are the CURRENT world-space triangles (frame flatten);
+    `order` the plan from plan_binned_order."""
+    ctot = num_groups * group
+    valid = order >= 0  # [Ctot*K]
+    verts = tri_verts[jnp.maximum(order, 0)]  # [Ctot*K, 3, 3]
+    verts = jnp.where(valid[:, None, None], verts, 0.0)
+
+    v0 = verts[:, 0]
+    e1 = verts[:, 1] - verts[:, 0]
+    e2 = verts[:, 2] - verts[:, 0]
+
+    vmin = jnp.where(valid[:, None, None], verts, _BIG).reshape(ctot, K * 3, 3)
+    vmax = jnp.where(valid[:, None, None], verts, -_BIG).reshape(ctot, K * 3, 3)
+    amin = jnp.min(vmin, axis=1)  # [Ctot, 3]
+    amax = jnp.max(vmax, axis=1)
+
+    cp = max(8, int(np.ceil(ctot / 8) * 8))
+    aabb = jnp.full((8, cp), _BIG, jnp.float32)
+    aabb = aabb.at[3:6, :].set(-_BIG)
+    aabb = aabb.at[0:3, :ctot].set(amin.T)
+    aabb = aabb.at[3:6, :ctot].set(amax.T)
+
+    gmins = jnp.min(amin.reshape(num_groups, group, 3), axis=1)
+    gmaxs = jnp.max(amax.reshape(num_groups, group, 3), axis=1)
+    gp = max(8, int(np.ceil(num_groups / 8) * 8))
+    gaabb = jnp.full((8, gp), _BIG, jnp.float32)
+    gaabb = gaabb.at[3:6, :].set(-_BIG)
+    gaabb = gaabb.at[0:3, :num_groups].set(gmins.T)
+    gaabb = gaabb.at[3:6, :num_groups].set(gmaxs.T)
+
+    rows = jnp.stack(
+        [
+            v0[:, 0], v0[:, 1], v0[:, 2],
+            e1[:, 0], e1[:, 1], e1[:, 2],
+            e2[:, 0], e2[:, 1], e2[:, 2],
+            jax.lax.bitcast_convert_type(order, jnp.float32),
+            jnp.zeros_like(v0[:, 0]), jnp.zeros_like(v0[:, 0]),
+            jnp.zeros_like(v0[:, 0]), jnp.zeros_like(v0[:, 0]),
+            jnp.zeros_like(v0[:, 0]), jnp.zeros_like(v0[:, 0]),
+        ],
+        axis=1,
+    ).reshape(ctot, K, 16).transpose(0, 2, 1).reshape(-1, K)
+
+    return BinnedClusters(
+        rows=rows,
+        aabb=aabb,
+        gaabb=gaabb,
+        scene_lo=jnp.min(amin, axis=0),  # pad clusters are +_BIG: no-op
+        scene_hi=jnp.max(amax, axis=0),
+        num_clusters=num_clusters,
+        group=group,
+        num_groups=num_groups,
+    )
+
+
 def _tile_worklists(bc, ox, oy, oz, dx, dy, dz, tmin, tmax, rt):
     """Dense XLA prepass: per-tile (group worklist, t_enter, count) plus —
     for grouped scenes — a per-(tile, cluster) need BITMASK.

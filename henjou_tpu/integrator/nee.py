@@ -20,7 +20,7 @@ from henjou_tpu.bsdf.dispatch import bsdf_eval as default_bsdf_eval
 from henjou_tpu.bsdf.dispatch import bsdf_sample as default_bsdf_sample
 from henjou_tpu.integrator.pathtrace import MAX_DEPTH, PathtraceResult
 from henjou_tpu.integrator.payload import Sky, closest_hit, occluded
-from henjou_tpu.math.constants import EPS_RAY, SHADOW_EPS_REL, TMAX_RAY
+from henjou_tpu.math.constants import SHADOW_EPS_REL, TMAX_RAY, ray_eps
 from henjou_tpu.math.vec import (
     absdot,
     dot,
@@ -51,6 +51,8 @@ def nee(
     # ray-derived zeros: see accel/traverse.py shard_map carry note
     zero3 = (ray_o + ray_d) * 0.0
 
+    eps_r = ray_eps(frame)  # scene-relative tmin (constants.ray_eps)
+
     def body(depth, carry):
         lte, thr, o, d, st, alive, aov_a, aov_n, n_tr = carry
 
@@ -61,7 +63,7 @@ def nee(
         n_tr = n_tr + jnp.sum(alive.astype(jnp.float32))  # radiance trace
 
         lane_tmax = jnp.where(alive, TMAX_RAY, 0.0)  # dead-lane gating
-        hit = closest_hit(frame, sky, o, d, EPS_RAY, lane_tmax, intersect_fn)
+        hit = closest_hit(frame, sky, o, d, eps_r, lane_tmax, intersect_fn)
 
         first = depth == 0
         aov_a = jnp.where(first, hit.basecolor, aov_a)
@@ -84,7 +86,7 @@ def nee(
         l_dist = jnp.maximum(length(to_light), 1e-12)
         l_dir = to_light / l_dist[:, None]
         shadow_blocked = occluded(
-            frame, hit.position, l_dir, EPS_RAY,
+            frame, hit.position, l_dir, eps_r,
             jnp.where(alive, l_dist * (1.0 - SHADOW_EPS_REL), 0.0), occluded_fn
         )
         cos1 = absdot(n, l_dir)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from henjou_tpu.bsdf.lambert import lambert_sample
 from henjou_tpu.integrator.payload import Sky, SurfaceHit, closest_hit
-from henjou_tpu.math.constants import EPS_RAY, TMAX_RAY
+from henjou_tpu.math.constants import TMAX_RAY, ray_eps
 from henjou_tpu.math.vec import dot, local_to_world, orthonormal_basis, world_to_local
 from henjou_tpu.sampling.cmj import CMJState, cmj_1d
 from henjou_tpu.scene.scenedata import FrameScene
@@ -59,6 +59,8 @@ def pathtrace(
     # shard_map (see accel/traverse.py note)
     zero3 = (ray_o + ray_d) * 0.0
 
+    eps_r = ray_eps(frame)  # scene-relative tmin (constants.ray_eps)
+
     def body(depth, carry):
         lte, thr, o, d, st, alive, aov_a, aov_n, n_tr = carry
 
@@ -74,7 +76,7 @@ def pathtrace(
         # dead lanes trace with tmax=0: the intersector's skip test then
         # eliminates their work entirely (results are masked anyway)
         lane_tmax = jnp.where(alive, TMAX_RAY, 0.0)
-        hit = closest_hit(frame, sky, o, d, EPS_RAY, lane_tmax, intersect_fn)
+        hit = closest_hit(frame, sky, o, d, eps_r, lane_tmax, intersect_fn)
 
         first = depth == 0
         aov_a = jnp.where(first, hit.basecolor, aov_a)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from henjou_tpu.integrator.pathtrace import MAX_DEPTH
 from henjou_tpu.integrator.payload import Sky, closest_hit, occluded
-from henjou_tpu.math.constants import EPS_RAY, SHADOW_EPS_REL, TMAX_RAY
+from henjou_tpu.math.constants import SHADOW_EPS_REL, TMAX_RAY, ray_eps
 from henjou_tpu.math.vec import (
     absdot,
     dot,
@@ -105,6 +105,7 @@ def wavefront_render(
     if use_mis:
         assert bsdf_pdf is not None
 
+    eps_r = ray_eps(frame)  # scene-relative tmin (constants.ray_eps)
     n_pixels = width * height
     total_samples = n_pixels * spp
     if max_iters is None:
@@ -202,7 +203,7 @@ def wavefront_render(
 
         # ---- radiance trace ----
         lane_tmax = jnp.where(alive, TMAX_RAY, 0.0)
-        hit = closest_hit(frame, sky, c.o, c.d, EPS_RAY, lane_tmax, intersect_fn)
+        hit = closest_hit(frame, sky, c.o, c.d, eps_r, lane_tmax, intersect_fn)
         n_tr = c.n_traces + jnp.sum(alive.astype(jnp.float32))
 
         first = c.depth == 0
@@ -231,7 +232,7 @@ def wavefront_render(
             l_dist = jnp.maximum(length(to_light), 1e-12)
             l_dir = to_light / l_dist[:, None]
             shadow_blocked = occluded(
-                frame, hit.position, l_dir, EPS_RAY,
+                frame, hit.position, l_dir, eps_r,
                 jnp.where(alive, l_dist * (1.0 - SHADOW_EPS_REL), 0.0),
                 occluded_fn,
             )
@@ -272,10 +273,10 @@ def wavefront_render(
             cos1_b = absdot(wi_b, n)
             lane_tmax_b = jnp.where(alive, TMAX_RAY, 0.0)
             t_l, prim_l, u_l, v_l, hit_l, area_l = intersect_lights(
-                frame, hit.position, wi_b, EPS_RAY, lane_tmax_b
+                frame, hit.position, wi_b, eps_r, lane_tmax_b
             )
             blocked_b = occluded(
-                frame, hit.position, wi_b, EPS_RAY,
+                frame, hit.position, wi_b, eps_r,
                 jnp.where(hit_l, t_l * (1.0 - SHADOW_EPS_REL), lane_tmax_b),
                 occluded_fn,
             )
@@ -289,7 +290,7 @@ def wavefront_render(
                 )
 
             hit_b = closest_hit(
-                frame, sky, hit.position, wi_b, EPS_RAY,
+                frame, sky, hit.position, wi_b, eps_r,
                 lane_tmax_b, light_isect,
             )
             n_tr = n_tr + jnp.sum(alive.astype(jnp.float32))

@@ -36,6 +36,16 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
+    # honor JAX_PLATFORMS even where the platform plugin force-prefers
+    # itself and ignores the env var (the axon environment): the
+    # programmatic config override is the one switch that always works
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") and os.environ["JAX_PLATFORMS"] != "axon":
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     if args.debug_nans:
         import jax
 

@@ -119,6 +119,7 @@ class Renderer:
         self._closure_cache = {}
         self._wf_cache = {}
         self._accel_cache = None
+        self._accel_plan = None
         self._temporal_history = None
         self._temporal_prev_frame = None
         self.device_scene = build_device_scene(self.scene)
@@ -178,7 +179,6 @@ class Renderer:
         self._step = self._make_step()
         self._frame_build = jax.jit(build_frame_scene)
         from henjou_tpu.accel.lbvh import build_lbvh
-        from henjou_tpu.accel.pallas_cluster_hbm import pack_clusters_hbm_np
 
         # On the experimental TPU platform, jitting the accel builds
         # miscompiles the sort+gather pipeline (verified: jitted
@@ -192,7 +192,6 @@ class Renderer:
             # eager dispatch there costs seconds/op; LBVH (CPU-only path
             # anyway) stays jax, the Pallas pack is pure numpy
             self._bvh_build = build_lbvh
-        self._pack_build = lambda tv: pack_clusters_hbm_np(np.asarray(tv))
         return self
 
     # VMEM budget for keeping the whole packed cluster set on-chip in the
@@ -215,17 +214,13 @@ class Renderer:
 
     @staticmethod
     def _accel_adapters(accel):
+        """Adapters for the accels `_select_accel` can return: None
+        (brute force), BinnedClusters (TPU production), LBVH (CPU).
+        The superseded PackedClusters/HbmClusters generations remain
+        importable alternates (accel/pallas_cluster*.py, exercised by
+        tests/ and tools/) but are deliberately NOT routed here."""
         if accel is None:
             return None, None
-        from henjou_tpu.accel.pallas_cluster import (
-            PackedClusters,
-            make_pallas_intersector,
-        )
-        from henjou_tpu.accel.pallas_cluster_hbm import (
-            HbmClusters,
-            make_pallas_hbm_intersector,
-        )
-
         from henjou_tpu.accel.pallas_binned import (
             BinnedClusters,
             make_binned_intersector,
@@ -242,24 +237,6 @@ class Renderer:
             return make_bitonic_sorted_intersector(
                 ifn, ofn, accel.scene_lo, accel.scene_hi
             )
-        if isinstance(accel, HbmClusters):
-            ifn, ofn = make_pallas_hbm_intersector(accel)
-            from henjou_tpu.accel.sorting import (
-                NUM_SUPER_THRESHOLD,
-                make_sorted_intersector,
-            )
-
-            if accel.num_super >= NUM_SUPER_THRESHOLD:
-                # bounce-ray coherence: sort rays into compact tiles so the
-                # per-tile supercluster culling can actually skip
-                # (jnp ops: works on both concrete and traced accel)
-                a2 = accel.aabb2[:, : accel.num_super]
-                lo = jnp.min(a2[0:3], axis=1)
-                hi = jnp.max(a2[3:6], axis=1)
-                ifn, ofn = make_sorted_intersector(ifn, ofn, lo, hi)
-            return ifn, ofn
-        if isinstance(accel, PackedClusters):
-            return make_pallas_intersector(accel)
         from henjou_tpu.accel.traverse import make_bvh_intersector
 
         return make_bvh_intersector(accel)
@@ -270,30 +247,29 @@ class Renderer:
         engine. When the pool can be bitonic-sorted in place (power-of-two
         lanes, cluster kernel in play), return RAW kernels plus a ray sort
         key fn — the engine then re-sorts the whole pool once per bounce
-        instead of sort+unsort around each of the three traces."""
-        from henjou_tpu.accel.pallas_cluster_hbm import HbmClusters
+        instead of sort+unsort around each of the three traces.
+
+        Measured on the gallery (BASELINE.md round-3 ablation): the
+        per-trace wrapper wins for the production BinnedClusters path —
+        the shadow/branch traces have incoherent DIRECTIONS, and without
+        a per-trace direction-octant sort their tiles lose slab culling.
+        The pool sort is kept selectable via HENJOU_POOL_SORT=1."""
+        from henjou_tpu.accel.pallas_binned import BinnedClusters
 
         pool_ok = lanes % 1024 == 0 and (lanes & (lanes - 1)) == 0
-        if isinstance(accel, HbmClusters) and pool_ok:
-            from henjou_tpu.accel.pallas_cluster_hbm import (
-                make_pallas_hbm_intersector,
-            )
-            from henjou_tpu.accel.sorting import (
-                NUM_SUPER_THRESHOLD,
-                ray_sort_key,
-            )
+        want_pool = os.environ.get("HENJOU_POOL_SORT", "0") == "1"
+        if isinstance(accel, BinnedClusters) and pool_ok and want_pool:
+            from henjou_tpu.accel.pallas_binned import make_binned_intersector
+            from henjou_tpu.accel.sorting import ray_sort_key
 
-            if accel.num_super >= NUM_SUPER_THRESHOLD:
-                ifn, ofn = make_pallas_hbm_intersector(accel)
-                a2 = accel.aabb2[:, : accel.num_super]
-                lo = jnp.min(a2[0:3], axis=1)
-                hi = jnp.max(a2[3:6], axis=1)
-                inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-12)
+            ifn, ofn = make_binned_intersector(accel)
+            lo = accel.scene_lo
+            inv_extent = 1.0 / jnp.maximum(accel.scene_hi - lo, 1e-12)
 
-                def pool_key(o, d):
-                    return ray_sort_key(o, d, lo, inv_extent)
+            def pool_key(o, d):
+                return ray_sort_key(o, d, lo, inv_extent)
 
-                return ifn, ofn, pool_key
+            return ifn, ofn, pool_key
         ifn, ofn = Renderer._accel_adapters(accel)
         return ifn, ofn, None
 
@@ -481,15 +457,55 @@ class Renderer:
         frame_scene = self._frame_build(self.device_scene, transforms, inv_transforms)
         cam = self._frame_camera(time_s)
 
-        # Acceleration structure rebuilt per frame (the reference's
-        # per-frame IAS rebuild analogue, renderer.h:257-291) — but reused
-        # when the transforms didn't change (static geometry).
+        # Acceleration structure per frame (the reference's per-frame IAS
+        # rebuild analogue, renderer.h:257-291): reused while transforms
+        # are unchanged; the SECOND distinct transform set switches the
+        # TPU path to the two-level scheme — per-instance cluster ORDER
+        # planned once on host (rigid motion preserves cluster tightness),
+        # then every animated frame refreshes rows/AABBs in one jitted
+        # device op (accel/pallas_binned.build_binned_from_order) instead
+        # of re-running the host median split.
         accel_key = np.asarray(transforms).tobytes()
         cache = getattr(self, "_accel_cache", None)
         if cache and cache[0] == accel_key:
             accel = cache[1]
         else:
-            accel = self._select_accel(frame_scene)
+            plan = getattr(self, "_accel_plan", None)
+            ntris = int(frame_scene.tri_verts.shape[0])
+            on_tpu = jax.devices()[0].platform != "cpu"
+            anim_mode = os.environ.get("HENJOU_ANIM_ACCEL", "device")
+            if (
+                plan is None
+                and cache is not None
+                and ntris > 256
+                and (on_tpu or anim_mode == "force")
+                and anim_mode in ("device", "force")
+            ):
+                from henjou_tpu.accel.pallas_binned import plan_binned_order
+
+                offs = np.asarray(self.device_scene.prim_offsets)
+                counts = np.diff(np.append(offs, ntris))
+                plan = plan_binned_order(
+                    np.asarray(frame_scene.tri_verts),
+                    list(zip(offs.tolist(), counts.tolist())),
+                )
+                self._accel_plan = plan
+                log.info(
+                    "animated scene: two-level accel plan (%d clusters, "
+                    "group=%d) — per-frame device refresh from here on",
+                    plan[1], plan[2],
+                )
+            if plan is not None:
+                from henjou_tpu.accel.pallas_binned import (
+                    build_binned_from_order,
+                )
+
+                order, c, group, g = plan
+                accel = build_binned_from_order(
+                    frame_scene.tri_verts, jnp.asarray(order), c, group, g
+                )
+            else:
+                accel = self._select_accel(frame_scene)
             self._accel_cache = (accel_key, accel)
         jax.block_until_ready(accel if accel is not None else frame_scene.tri_verts)
         build_ms = (time.monotonic() - t_build0) * 1e3
@@ -758,6 +774,21 @@ class Renderer:
         """The one true entry point (reference: renderer.h:1053-1317).
         Returns the list of written PNG paths."""
         overall_t0 = time.monotonic()
+        if (
+            jax.devices()[0].platform != "cpu"
+            and os.environ.get("HENJOU_SKIP_CANARY", "0") != "1"
+        ):
+            # known-answer canary: the two axon-miscompile workarounds
+            # (closure mode __init__; host accel builds, build()) are
+            # load-bearing — verify the backend still renders the pinned
+            # frame before spending the budget (runtime/canary.py)
+            from henjou_tpu.runtime.canary import canary_check
+
+            canary_check(strict=True)
+            log.info(
+                "workaround modes: closure_mode=%s host_accel_build=True",
+                self.closure_mode,
+            )
         if option_path:
             self.load_render_option(option_path)
             self._load_scene_from_option()
@@ -838,10 +869,12 @@ class Renderer:
             # of the same sequence (denoiser.h temporal model needs
             # consecutive frames); anything else restarts spatially
             prev_frame = getattr(self, "_temporal_prev_frame", None)
+            # an unknown frame index can't prove adjacency: restart
+            # spatially rather than blend history from an unrelated render
             sequential = (
-                frame is None
-                or prev_frame is None
-                or frame == prev_frame + 1
+                frame is not None
+                and prev_frame is not None
+                and frame == prev_frame + 1
             )
             if prev is None or prev[0].shape != color.shape or not sequential:
                 from henjou_tpu.post.denoise import denoise_atrous

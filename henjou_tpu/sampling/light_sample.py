@@ -93,14 +93,25 @@ def light_pdf(frame: FrameScene, prim: jnp.ndarray) -> jnp.ndarray:
     return 1.0 / jnp.maximum(area * count, 1e-12)
 
 
+# dense-[R, chunk] block width for intersect_lights: bounds the peak
+# intermediate to [R, 512] (≈134 MB f32 at 64k lanes) however many
+# emissive triangles the scene has (the old uncapped [R, L] path
+# materialized ≈8 GB at L=10k and OOMed)
+LIGHT_CHUNK = 512
+
+
 def intersect_lights(frame: FrameScene, ray_o, ray_d, tmin, tmax):
-    """Closest hit against EMISSIVE triangles only: dense [R, L]
-    Moller-Trumbore, no acceleration structure (L is small).
+    """Closest hit against EMISSIVE triangles only: dense Moller-Trumbore
+    in [R, <=512] chunks, no acceleration structure.
 
     The MIS BSDF-branch trace (rt.h:382-420) only USES its hit when the
     hit is a light (or a miss); so the wavefront engine traces lights
     densely here and resolves occlusion with a cheap bounded any-hit
-    query instead of a full closest-hit kernel walk.
+    query instead of a full closest-hit kernel walk. Light counts above
+    LIGHT_CHUNK run as an unrolled chunk loop with a running best-hit,
+    so memory stays flat in L (compute is still O(R*L): scenes with
+    thousands of mesh lights should prefer the binned emissive-cluster
+    intersector, runtime/renderer.make_light_intersector).
 
     Returns (t, prim, u, v, hit, area) — the intersector contract plus
     the hit light's triangle area (for the MIS reverse pdf).
@@ -126,51 +137,72 @@ def intersect_lights(frame: FrameScene, ray_o, ray_d, tmin, tmax):
         )
     lp = dev.light_prim_ids
     tv = frame.tri_verts[lp]  # [L,3,3] loop-invariant (XLA hoists)
-    v0 = tv[:, 0][None]  # [1,L,3]
-    e1 = (tv[:, 1] - tv[:, 0])[None]
-    e2 = (tv[:, 2] - tv[:, 0])[None]
     o = ray_o[:, None, :]
     d = ray_d[:, None, :]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))[:, None]
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))[:, None]
 
-    pv = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pv, -1)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = o - v0
-    uu = jnp.sum(tvec * pv, -1) * inv_det
-    qv = jnp.cross(tvec, e1)
-    vv = jnp.sum(d * qv, -1) * inv_det
-    tt = jnp.sum(e2 * qv, -1) * inv_det
-    ok = (
-        (jnp.abs(det) > 1e-12)
-        & (uu >= 0.0)
-        & (vv >= 0.0)
-        & (uu + vv <= 1.0)
-        & (tt > tmin_b)
-        & (tt < tmax_b)
-    )
-    tt = jnp.where(ok, tt, jnp.inf)
-    t_best = jnp.min(tt, axis=1)
-    li = jnp.argmin(tt, axis=1)
-    pick = (
-        jnp.arange(n_l, dtype=jnp.int32)[None, :] == li[:, None]
-    )
-    u_b = jnp.sum(jnp.where(pick, uu, 0.0), axis=1)
-    v_b = jnp.sum(jnp.where(pick, vv, 0.0), axis=1)
-    prim = jnp.sum(
-        jnp.where(pick, lp[None].astype(jnp.int32), 0), axis=1
-    ).astype(jnp.int32)
+    t_best = jnp.full((n,), jnp.inf)
+    u_b = jnp.zeros((n,), jnp.float32)
+    v_b = jnp.zeros((n,), jnp.float32)
+    prim_b = jnp.full((n,), -1, jnp.int32)
+    area_b = jnp.zeros((n,), jnp.float32)
+
+    for c0 in range(0, n_l, LIGHT_CHUNK):
+        c1 = min(c0 + LIGHT_CHUNK, n_l)
+        nc = c1 - c0
+        tvc = tv[c0:c1]
+        v0 = tvc[:, 0][None]  # [1,C,3]
+        e1 = (tvc[:, 1] - tvc[:, 0])[None]
+        e2 = (tvc[:, 2] - tvc[:, 0])[None]
+
+        pv = jnp.cross(d, e2)
+        det = jnp.sum(e1 * pv, -1)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvec = o - v0
+        uu = jnp.sum(tvec * pv, -1) * inv_det
+        qv = jnp.cross(tvec, e1)
+        vv = jnp.sum(d * qv, -1) * inv_det
+        tt = jnp.sum(e2 * qv, -1) * inv_det
+        ok = (
+            (jnp.abs(det) > 1e-12)
+            & (uu >= 0.0)
+            & (vv >= 0.0)
+            & (uu + vv <= 1.0)
+            & (tt > tmin_b)
+            & (tt < tmax_b)
+        )
+        tt = jnp.where(ok, tt, jnp.inf)
+        t_c = jnp.min(tt, axis=1)
+        li = jnp.argmin(tt, axis=1)
+        pick = (
+            jnp.arange(nc, dtype=jnp.int32)[None, :] == li[:, None]
+        )
+        u_c = jnp.sum(jnp.where(pick, uu, 0.0), axis=1)
+        v_c = jnp.sum(jnp.where(pick, vv, 0.0), axis=1)
+        prim_c = jnp.sum(
+            jnp.where(pick, lp[None, c0:c1].astype(jnp.int32), 0), axis=1
+        ).astype(jnp.int32)
+        # area of the picked light (for the MIS reverse pdf): selecting
+        # from the [C] table avoids a 0.5 ms [R]-row gather in light_pdf
+        area_l = 0.5 * jnp.linalg.norm(
+            jnp.cross(e1[0], e2[0]), axis=-1
+        )  # [C]
+        area_c = jnp.sum(jnp.where(pick, area_l[None], 0.0), axis=1)
+
+        better = t_c < t_best
+        t_best = jnp.where(better, t_c, t_best)
+        u_b = jnp.where(better, u_c, u_b)
+        v_b = jnp.where(better, v_c, v_b)
+        prim_b = jnp.where(better, prim_c, prim_b)
+        area_b = jnp.where(better, area_c, area_b)
+
     hit = jnp.isfinite(t_best)
-    # area of the picked light (for the MIS reverse pdf): selecting from
-    # the [L] table here avoids a 0.5 ms [R]-row gather in light_pdf
-    area_l = 0.5 * jnp.linalg.norm(jnp.cross(e1[0], e2[0]), axis=-1)  # [L]
-    area = jnp.sum(jnp.where(pick, area_l[None], 0.0), axis=1)
     return (
         jnp.where(hit, t_best, jnp.inf),
-        jnp.where(hit, prim, -1),
+        jnp.where(hit, prim_b, -1),
         u_b,
         v_b,
         hit,
-        area,
+        area_b,
     )

@@ -303,6 +303,8 @@ def load_gltf(path: str, allow_camera_animation: bool = True) -> SceneData:
     ]
 
     vertices, normals, texcoords, indices = [], [], [], []
+    colors: list = []
+    any_colors = False
     material_ids = []
     geometries, instances = [], []
     camera_animation_id = -1
@@ -328,6 +330,17 @@ def load_gltf(path: str, allow_camera_animation: bool = True) -> SceneData:
                     if "TEXCOORD_0" in attrs
                     else None
                 )
+                # COLOR_0: vec3/vec4 float or normalized ubyte/ushort
+                # (glTF 2.0 §3.7.2.1); alpha dropped — the device model
+                # carries RGB only (ref scene.h:25, renderer.h:1198)
+                col = None
+                if "COLOR_0" in attrs:
+                    raw = g.accessor(attrs["COLOR_0"])
+                    scale = {np.uint8: 255.0, np.uint16: 65535.0}.get(
+                        raw.dtype.type, 1.0
+                    )
+                    col = raw[:, :3].astype(np.float32) / scale
+                    any_colors = True
                 if "indices" in prim:
                     idx = g.accessor(prim["indices"]).astype(np.uint32).reshape(-1)
                 else:
@@ -348,9 +361,15 @@ def load_gltf(path: str, allow_camera_animation: bool = True) -> SceneData:
                 else:
                     t3 = np.zeros((len(idx), 3, 2), np.float32)
 
+                if col is not None:
+                    c3 = col[idx.reshape(-1)].reshape(-1, 3, 3)
+                else:
+                    c3 = np.ones((len(idx), 3, 3), np.float32)
+
                 vertices.append(v.reshape(-1, 3))
                 normals.append(n3.reshape(-1, 3))
                 texcoords.append(t3.reshape(-1, 2))
+                colors.append(c3.reshape(-1, 3))
                 mat_id = prim.get("material", 0)
                 material_ids.append(np.full(len(idx), mat_id, np.uint32))
 
@@ -403,7 +422,7 @@ def load_gltf(path: str, allow_camera_animation: bool = True) -> SceneData:
         material_ids=all_mat_ids,
         normals=all_normals,
         texcoords=all_texcoords,
-        colors=None,
+        colors=(np.concatenate(colors) if any_colors and colors else None),
         materials=materials,
         textures=textures,
         animations=animations,

@@ -101,6 +101,8 @@ def load_obj(path: str) -> SceneData:
     directory = os.path.dirname(os.path.abspath(path))
 
     positions, normals_in, texcoords_in = [], [], []
+    vcolors: list = []
+    has_vcolor = False
     mtl_order: list = []
     mtl_index: dict = {}
     materials_by_name: dict = {}
@@ -128,6 +130,13 @@ def load_obj(path: str) -> SceneData:
             key = parts[0]
             if key == "v":
                 positions.append([float(x) for x in parts[1:4]])
+                # vertex-color extension `v x y z r g b` (tinyobj reads
+                # these into attrib.colors; ref scene.h:25 uploads them)
+                if len(parts) >= 7:
+                    vcolors.append([float(x) for x in parts[4:7]])
+                    has_vcolor = True
+                else:
+                    vcolors.append([1.0, 1.0, 1.0])
             elif key == "vn":
                 normals_in.append([float(x) for x in parts[1:4]])
             elif key == "vt":
@@ -181,7 +190,10 @@ def load_obj(path: str) -> SceneData:
     normals_in = np.asarray(normals_in, np.float32) if normals_in else None
     texcoords_in = np.asarray(texcoords_in, np.float32) if texcoords_in else None
 
+    vcolors_np = np.asarray(vcolors, np.float32) if has_vcolor else None
+
     verts, norms, texcs, mat_ids = [], [], [], []
+    cols: list = []
     geometries, instances = [], []
     index_offset = 0
     for faces, face_mats in shapes:
@@ -189,6 +201,8 @@ def load_obj(path: str) -> SceneData:
         for face, mid in zip(faces, face_mats):
             vs = [positions[vi] for vi, _, _ in face]
             verts.extend(vs)
+            if vcolors_np is not None:
+                cols.extend(vcolors_np[vi] for vi, _, _ in face)
             if normals_in is not None and all(ni >= 0 for _, _, ni in face):
                 norms.extend(normals_in[ni] for _, _, ni in face)
             else:
@@ -217,7 +231,7 @@ def load_obj(path: str) -> SceneData:
         material_ids=np.asarray(mat_ids, np.uint32),
         normals=np.asarray(norms, np.float32),
         texcoords=np.asarray(texcs, np.float32),
-        colors=None,
+        colors=(np.asarray(cols, np.float32) if vcolors_np is not None else None),
         materials=materials,
         geometries=geometries,
         instances=instances,

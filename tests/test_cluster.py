@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from henjou_tpu.accel.bruteforce import intersect_bruteforce, occluded_bruteforce
 from henjou_tpu.accel.cluster import (
@@ -45,6 +46,7 @@ def test_build_shapes_and_aabbs():
         np.testing.assert_allclose(np.asarray(cs.aabb_max[c]), mx, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_matches_bruteforce():
     for ntri, seed in ((13, 2), (100, 3), (1000, 4)):
         tris = random_tris(ntri, seed=seed)
@@ -71,6 +73,7 @@ def test_occlusion_matches():
     np.testing.assert_array_equal(np.asarray(blocked_b), np.asarray(blocked_c))
 
 
+@pytest.mark.slow
 def test_tmin_tmax_and_inside():
     tris = jnp.asarray(
         [
@@ -90,6 +93,7 @@ def test_tmin_tmax_and_inside():
     assert not bool(h[0])
 
 
+@pytest.mark.slow
 def test_renderer_uses_clusters_on_cornell():
     from henjou_tpu.integrator.payload import Sky, closest_hit
     from henjou_tpu.scene.scenedata import build_device_scene, build_frame_scene

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from henjou_tpu.accel.bruteforce import intersect_bruteforce, occluded_bruteforce
 from henjou_tpu.accel.lbvh import build_lbvh, morton_codes
@@ -68,6 +69,7 @@ def test_lbvh_structure():
             )
 
 
+@pytest.mark.slow
 def test_traverse_matches_bruteforce():
     for ntri, seed in ((13, 2), (100, 3), (517, 4)):
         tris = random_tris(ntri, seed=seed)
@@ -83,6 +85,7 @@ def test_traverse_matches_bruteforce():
         np.testing.assert_array_equal(np.asarray(p_b)[hb], np.asarray(p_t)[hb])
 
 
+@pytest.mark.slow
 def test_traverse_occlusion_matches():
     tris = random_tris(200, seed=5)
     bvh = build_lbvh(tris)
@@ -137,6 +140,7 @@ def test_degenerate_identical_centroids():
     np.testing.assert_allclose(float(t[0]), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_closest_hit_with_bvh_on_cornell():
     from henjou_tpu.integrator.payload import Sky, closest_hit
     from henjou_tpu.scene.scenedata import build_device_scene, build_frame_scene

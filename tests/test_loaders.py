@@ -326,3 +326,100 @@ def test_obj_without_mtl(tmp_path):
     scene = load_obj(str(tmp_path / "plain.obj"))
     assert len(scene.materials) == 1
     np.testing.assert_allclose(scene.materials[0]["base_color"], 1.0)
+
+
+def test_gltf_vertex_colors(tmp_path):
+    """COLOR_0 must reach SceneData.colors (ref scene.h:25, uploaded at
+    renderer.h:1198): float vec3 case + normalized-ubyte vec4 case."""
+    import json
+
+    positions = np.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32
+    )
+    col_f = np.asarray([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    col_u8 = np.asarray(
+        [[255, 0, 0, 255], [0, 127, 0, 255], [0, 0, 255, 255]], np.uint8
+    )
+    blob = positions.tobytes() + col_f.tobytes() + col_u8.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [
+            {
+                "byteLength": len(blob),
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(blob).decode(),
+            }
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": positions.nbytes},
+            {
+                "buffer": 0,
+                "byteOffset": positions.nbytes,
+                "byteLength": col_f.nbytes,
+            },
+            {
+                "buffer": 0,
+                "byteOffset": positions.nbytes + col_f.nbytes,
+                "byteLength": col_u8.nbytes,
+            },
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {
+                "bufferView": 2,
+                "componentType": 5121,
+                "count": 3,
+                "type": "VEC4",
+                "normalized": True,
+            },
+        ],
+        "meshes": [
+            {
+                "primitives": [
+                    {"attributes": {"POSITION": 0, "COLOR_0": 1}},
+                    {"attributes": {"POSITION": 0, "COLOR_0": 2}},
+                ]
+            }
+        ],
+        "nodes": [{"mesh": 0}],
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+    }
+    p = tmp_path / "vc.gltf"
+    p.write_text(json.dumps(doc))
+    from henjou_tpu.scene.gltf import load_gltf
+
+    scene = load_gltf(str(p))
+    assert scene.colors is not None
+    cols = np.asarray(scene.colors).reshape(-1, 3)
+    assert cols.shape[0] == 6  # two de-indexed triangles
+    np.testing.assert_allclose(cols[:3], col_f, atol=1e-6)
+    np.testing.assert_allclose(
+        cols[3:], col_u8[:, :3].astype(np.float32) / 255.0, atol=1e-6
+    )
+    # and the device scene must see them (has_vert_colors static flag)
+    from henjou_tpu.scene.scenedata import build_device_scene
+
+    dev = build_device_scene(scene)
+    assert dev.has_vert_colors
+
+
+def test_obj_vertex_colors(tmp_path):
+    """`v x y z r g b` vertex-color extension (tinyobj attrib.colors)."""
+    p = tmp_path / "vc.obj"
+    p.write_text(
+        "v 0 0 0 1 0 0\n"
+        "v 1 0 0 0 1 0\n"
+        "v 0 1 0 0 0 1\n"
+        "f 1 2 3\n"
+    )
+    from henjou_tpu.scene.obj import load_obj
+
+    scene = load_obj(str(p))
+    assert scene.colors is not None
+    np.testing.assert_allclose(
+        np.asarray(scene.colors),
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        atol=1e-6,
+    )

@@ -67,6 +67,7 @@ def _big_sphere_obj(path, lat=64, lon=96):
         f.write("\n".join(lines))
 
 
+@pytest.mark.slow
 def test_obj_mesh_end_to_end(tmp_path):
     """BASELINE config #4 shape: a >10k-triangle OBJ through the loader,
     the LBVH/cluster accel selection, and a tiny MIS render."""
@@ -120,6 +121,7 @@ def test_debug_nans_hook_catches_nans():
         jax.config.update("jax_debug_nans", False)
 
 
+@pytest.mark.slow
 def test_step_does_not_alias_inputs():
     """Donation-safety (SURVEY §5): the jitted step must not corrupt its
     argument buffers — running the same step twice with the same inputs

@@ -68,6 +68,7 @@ def _render(integrator, spp, size=24, emission=10.0, seed=0):
     return r.render_frame(0)["color"]
 
 
+@pytest.mark.slow
 def test_integrators_converge_to_same_image():
     """PT, NEE and MIS are unbiased estimators of the same transport: their
     low-res Cornell means must agree within MC noise."""
@@ -82,6 +83,7 @@ def test_integrators_converge_to_same_image():
     assert rmse < 0.12, rmse
 
 
+@pytest.mark.slow
 def test_nee_lower_variance_than_pt():
     """With a small area light, NEE's pixel variance is far below PT's at
     equal spp — the reason NEE exists."""
@@ -93,6 +95,7 @@ def test_nee_lower_variance_than_pt():
     assert var_ne < var_pt
 
 
+@pytest.mark.slow
 def test_mis_finite_on_gallery():
     """MIS over the full BSDF zoo (specular/metal/thin-film lanes) stays
     finite and non-negative."""

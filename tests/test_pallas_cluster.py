@@ -4,6 +4,7 @@ path is exercised on real TPU by bench.py and the renderer)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from henjou_tpu.accel.bruteforce import intersect_bruteforce
 from henjou_tpu.accel.pallas_cluster import (
@@ -32,6 +33,7 @@ def test_pack_shapes():
     assert int((np.asarray(pc.order) < 0).sum()) == 3 * 128 - 300
 
 
+@pytest.mark.slow
 def test_matches_bruteforce_interpret():
     for ntri, nray, seed in ((50, RAY_TILE, 1), (700, 2 * RAY_TILE, 2)):
         tris, o, d = random_scene_rays(ntri, nray, seed)
@@ -44,6 +46,7 @@ def test_matches_bruteforce_interpret():
         np.testing.assert_allclose(np.asarray(t_b)[hb], np.asarray(t_p)[hb], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_padding_and_tmax():
     # non-multiple-of-tile ray count + per-lane tmax
     tris, o, d = random_scene_rays(100, 700, 3)
@@ -54,6 +57,7 @@ def test_padding_and_tmax():
     np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_p))
 
 
+@pytest.mark.slow
 def test_any_hit_mode():
     tris, o, d = random_scene_rays(200, RAY_TILE, 4)
     pc = pack_clusters(tris)
@@ -66,6 +70,7 @@ def test_any_hit_mode():
 # ---------------- two-level HBM variant ----------------
 
 
+@pytest.mark.slow
 def test_hbm_matches_bruteforce_interpret():
     from henjou_tpu.accel.pallas_cluster_hbm import (
         RAY_TILE as RT_HBM,
@@ -84,6 +89,7 @@ def test_hbm_matches_bruteforce_interpret():
         np.testing.assert_allclose(np.asarray(t_b)[hb], np.asarray(t_p)[hb], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_hbm_any_hit_and_tmax():
     from henjou_tpu.accel.pallas_cluster_hbm import (
         intersect_pallas_hbm,
@@ -123,6 +129,7 @@ def test_binned_matches_bruteforce_interpret():
     assert (np.asarray(p_p)[h_b] == np.asarray(p_b)[h_b]).all()
 
 
+@pytest.mark.slow
 def test_binned_grouped_and_anyhit_interpret():
     import henjou_tpu.accel.pallas_binned as pb
 
@@ -157,6 +164,7 @@ def test_binned_grouped_and_anyhit_interpret():
     assert (np.asarray(ha) == np.asarray(hb2)).all()
 
 
+@pytest.mark.slow
 def test_bitonic_wrapper_dead_lanes_and_parity():
     """Bitonic sorted wrapper: estimator-invisible, dead lanes exact."""
     from henjou_tpu.accel.pallas_binned import (
@@ -198,6 +206,7 @@ def test_bitonic_wrapper_dead_lanes_and_parity():
     assert (np.asarray(occ) == np.asarray(occ_ref)).all()
 
 
+@pytest.mark.slow
 def test_binned_dma_double_buffer_interpret():
     """Force the streaming (non-VMEM-resident) path: double-buffered
     group DMA with post-loop prefetch drain must match bruteforce."""
@@ -220,7 +229,13 @@ def test_binned_dma_double_buffer_interpret():
         d /= np.linalg.norm(d, axis=1, keepdims=True)
         d = jnp.asarray(d)
         t_b, p_b, _, _, h_b = intersect_bruteforce(tris, o, d, 1e-3)
-        t_p, p_p, _, _, h_p = pb.intersect_binned(bc, o, d, 1e-3, interpret=True)
+        # ray_tile=512 is a distinct static arg: the earlier grouped test
+        # traced intersect_binned with identical shapes/statics at the
+        # default tile, so reusing it here would hit the jit cache's
+        # vmem_rows=True executable and never exercise the DMA drain path
+        t_p, p_p, _, _, h_p = pb.intersect_binned(
+            bc, o, d, 1e-3, interpret=True, ray_tile=512
+        )
     finally:
         pb.MAX_FINE_CLUSTERS, pb.VMEM_ROWS_BUDGET = old_fine, old_budget
     h_b = np.asarray(h_b)

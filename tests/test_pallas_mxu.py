@@ -4,6 +4,7 @@ bench.py and the renderer)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from henjou_tpu.accel.bruteforce import intersect_bruteforce
 from henjou_tpu.accel.pallas_mxu import (
@@ -14,6 +15,7 @@ from henjou_tpu.accel.pallas_mxu import (
 from tests.test_pallas_cluster import random_scene_rays
 
 
+@pytest.mark.slow
 def test_matches_bruteforce_interpret():
     for ntri, nray, seed in ((50, RAY_TILE, 1), (700, 2 * RAY_TILE, 2)):
         tris, o, d = random_scene_rays(ntri, nray, seed)
@@ -48,6 +50,7 @@ def test_recentering_far_scene():
     )
 
 
+@pytest.mark.slow
 def test_padding_tmax_and_any_hit():
     tris, o, d = random_scene_rays(100, 700, 3)
     mc = pack_clusters_mxu_np(np.asarray(tris))

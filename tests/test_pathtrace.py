@@ -79,6 +79,7 @@ def test_lambert_furnace():
     np.testing.assert_allclose(mean, 1.0, atol=0.03)
 
 
+@pytest.mark.slow
 def test_cornell_render_statistics():
     """Low-spp Cornell render sanity: light pixels ~emission, energy
     bounded, red/green bleed present on the correct sides."""
@@ -112,6 +113,7 @@ def test_cornell_render_statistics():
     assert left[1] > left[0]  # green dominates near green wall
 
 
+@pytest.mark.slow
 def test_render_deterministic():
     opt = RenderOption(
         image_width=32,

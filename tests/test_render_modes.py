@@ -6,6 +6,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from henjou_tpu.runtime.options import RenderMode, RenderOption, load_render_option
 from henjou_tpu.runtime.renderer import Renderer
@@ -33,6 +34,7 @@ def _mk_renderer(mode=RenderMode.DEFAULT, spp=8, size=32, **kw):
     return r
 
 
+@pytest.mark.slow
 def test_denoise_mode_reduces_variance(tmp_path):
     import dataclasses
 
@@ -47,6 +49,7 @@ def test_denoise_mode_reduces_variance(tmp_path):
     assert np.var(out[8:-8, 8:-8]) < np.var(noisy[8:-8, 8:-8])
 
 
+@pytest.mark.slow
 def test_upscale2x_mode_doubles_resolution(tmp_path):
     import dataclasses
 
@@ -62,6 +65,7 @@ def test_upscale2x_mode_doubles_resolution(tmp_path):
     assert img.shape[:2] == (32, 32)
 
 
+@pytest.mark.slow
 def test_temporal_mode_reduces_flicker(tmp_path):
     """DenoiseTemporal (denoiser.h:37 TEMPORAL kind): across two frames of
     a static scene rendered with different sample sets, the temporal output
@@ -77,8 +81,10 @@ def test_temporal_mode_reduces_flicker(tmp_path):
     # two frames, static scene; frame index seeds differ -> different noise
     aovs0 = r.render_frame(0)
     aovs1 = r.render_frame(1)
-    out0 = r._finalize(aovs0)
-    out1 = r._finalize(aovs1)
+    # consecutive frame indices: _finalize only reuses temporal history
+    # for frame == prev_frame + 1 (unknown frames restart spatially)
+    out0 = r._finalize(aovs0, frame=0)
+    out1 = r._finalize(aovs1, frame=1)
     temporal_flicker = np.abs(out1 - out0).mean()
 
     ind0 = np.asarray(denoise_atrous(
@@ -143,6 +149,7 @@ def test_save_render_option_snapshot(tmp_path, monkeypatch):
     assert snaps, "config snapshot not written"
 
 
+@pytest.mark.slow
 def test_golden_cornell_regression():
     """Deterministic low-spp Cornell against a checked-in golden image:
     catches any unintended change to sampling, shading or integration."""

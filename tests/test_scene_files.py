@@ -31,6 +31,7 @@ def test_render_option_json_roundtrip():
     assert abs(opt.camera_fov - np.pi / 4) < 1e-6
 
 
+@pytest.mark.slow
 def test_full_json_render_path(tmp_path):
     """The one true entry point: option JSON -> glTF -> frame -> PNG
     (initializeAndRender analogue)."""

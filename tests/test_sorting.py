@@ -2,12 +2,14 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from henjou_tpu.accel.bruteforce import intersect_bruteforce, occluded_bruteforce
 from henjou_tpu.accel.sorting import make_sorted_intersector, ray_sort_key
 from tests.test_pallas_cluster import random_scene_rays
 
 
+@pytest.mark.slow
 def test_sorted_wrapper_matches_unsorted():
     tris, o, d = random_scene_rays(300, 777, seed=9)
     tv = np.asarray(tris)

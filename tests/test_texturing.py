@@ -4,6 +4,7 @@ renderer.h:655-723, applied in the reconstructed __closesthit__ch)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from henjou_tpu.integrator.payload import Sky, closest_hit
 from henjou_tpu.scene.scenedata import (
@@ -53,6 +54,7 @@ def _const_tex(rgb, name="t", size=4):
     return Texture(name, data, TexType.NON_COLOR)
 
 
+@pytest.mark.slow
 def test_normal_map_perturbs_shading_normal():
     # tangent-space normal tilted toward +u: n_ts = (0.6, 0, 0.8)
     tex = _const_tex([(0.6 + 1) / 2, 0.5, (0.8 + 1) / 2])

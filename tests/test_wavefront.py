@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full-engine parity runs, minutes each
 
 from henjou_tpu.bsdf.dispatch import make_bsdf_sampler
 from henjou_tpu.integrator.pathtrace import pathtrace
