@@ -83,6 +83,7 @@ def wavefront_render(
     max_iters: Optional[int] = None,
     spp_offset=0,
     pool_key_fn: Optional[Callable] = None,
+    light_isect_fn: Optional[Callable] = None,
 ) -> WavefrontFilm:
     """Render width*height pixels at `spp` samples with a `lanes`-wide
     refilling pool. Returns per-pixel SUMS (divide by spp outside).
@@ -268,11 +269,12 @@ def wavefront_render(
             # textured/normal-mapped lights shade identically.
             from henjou_tpu.sampling.light_sample import intersect_lights
 
+            _light_isect = light_isect_fn or intersect_lights
             brdf_b, local_wi_b, pt_pdf_b, st = bsdf_sample(hit, local_wo, st)
             wi_b = local_to_world(local_wi_b, t, n, b)
             cos1_b = absdot(wi_b, n)
             lane_tmax_b = jnp.where(alive, TMAX_RAY, 0.0)
-            t_l, prim_l, u_l, v_l, hit_l, area_l = intersect_lights(
+            t_l, prim_l, u_l, v_l, hit_l, area_l = _light_isect(
                 frame, hit.position, wi_b, eps_r, lane_tmax_b
             )
             blocked_b = occluded(

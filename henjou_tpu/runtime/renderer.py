@@ -198,6 +198,11 @@ class Renderer:
     # Pallas kernel (v5e has ~16 MB/core; leave room for ray tiles/scratch)
     PALLAS_VMEM_BUDGET = 8 << 20
 
+    # emissive-tri count above which the MIS branch's light query trades
+    # the dense chunked Moller-Trumbore (cost O(R*L)) for the binned
+    # Pallas kernel over the emissive subset (sampling/light_sample.py)
+    BINNED_LIGHT_THRESHOLD = 512
+
     def _select_accel(self, frame_scene):
         """Pick the intersector for this frame: brute force for tiny
         scenes; the two-level HBM Pallas packet/cluster kernel on TPU;
@@ -648,6 +653,32 @@ class Renderer:
             1 << 16, max(1 << 12, 1 << (width * height - 1).bit_length())
         )
 
+        # mesh-light-heavy scenes (L > BINNED_LIGHT_THRESHOLD emissive
+        # tris): trace the MIS branch's light query through a binned
+        # cluster set over the emissive SUBSET instead of the dense
+        # O(R*L) Moller-Trumbore (VERDICT r2 #6; flat-ish cost in L).
+        # The LightAccel is a pytree passed as a jit ARG, so animated
+        # frames refresh it (rebuilt with the main accel cache) without
+        # retracing the engine.
+        light_accel = None
+        n_lights = int(self.device_scene.num_lights)
+        if integrator == "mis" and n_lights > self.BINNED_LIGHT_THRESHOLD:
+            from henjou_tpu.sampling.light_sample import build_light_accel
+
+            la_cache = getattr(self, "_light_accel_cache", None)
+            la_key = getattr(self, "_accel_cache", (None,))[0]
+            if la_cache is not None and la_cache[0] == la_key:
+                light_accel = la_cache[1]
+            else:
+                light_accel = build_light_accel(
+                    np.asarray(frame_scene.tri_verts),
+                    np.asarray(self.device_scene.light_prim_ids),
+                )
+                self._light_accel_cache = (la_key, light_accel)
+                log.info(
+                    "binned light intersector: %d emissive tris", n_lights
+                )
+
         use_args = accel is not None  # see render_frame miscompile note
         if use_args:
             wf_key = (
@@ -655,20 +686,32 @@ class Renderer:
                 type(accel).__name__,
                 getattr(accel, "num_super", 0),
                 getattr(accel, "num_clusters", 0),
+                light_accel is not None,
             )
             cache = getattr(self, "_wf_cache", {})
             if cache.get("key") != wf_key:
                 @functools.partial(jax.jit, static_argnames=("spp",))
-                def wf_args(frame_scene, accel, cam, spp_offset, seed, spp: int):
+                def wf_args(
+                    frame_scene, accel, light_accel, cam, spp_offset, seed,
+                    spp: int,
+                ):
                     ifn, ofn, pool_key = Renderer._accel_adapters_wavefront(
                         accel, lanes
                     )
+                    lfn = None
+                    if light_accel is not None:
+                        from henjou_tpu.sampling.light_sample import (
+                            make_binned_light_intersector,
+                        )
+
+                        lfn = make_binned_light_intersector(light_accel)
                     return wavefront_render(
                         frame_scene, sky, cam, width, height, spp,
                         bsdf_sample, bsdf_eval=bsdf_eval, bsdf_pdf=bsdf_pdf,
                         integrator=integrator, seed=seed, lanes=lanes,
                         intersect_fn=ifn, occluded_fn=ofn,
                         spp_offset=spp_offset, pool_key_fn=pool_key,
+                        light_isect_fn=lfn,
                     )
 
                 cache = {"key": wf_key, "fn": wf_args}
@@ -676,7 +719,7 @@ class Renderer:
 
             def wf_step(spp_offset, spp: int):
                 return cache["fn"](
-                    frame_scene, accel, cam, spp_offset,
+                    frame_scene, accel, light_accel, cam, spp_offset,
                     jnp.uint32(opt.seed + frame), spp=spp,
                 )
         else:

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from henjou_tpu.math.vec import cross, length, normalize
 from henjou_tpu.sampling.cmj import CMJState, cmj_1d, cmj_2d
 from henjou_tpu.scene.scenedata import FrameScene
+from typing import NamedTuple
 
 
 def sample_light(frame: FrameScene, state: CMJState):
@@ -206,3 +207,62 @@ def intersect_lights(frame: FrameScene, ray_o, ray_d, tmin, tmax):
         hit,
         area_b,
     )
+
+
+class LightAccel(NamedTuple):
+    """Binned cluster set over the EMISSIVE triangle subset, plus the
+    subset->global prim map and per-light areas. A pytree: passes through
+    jit boundaries as an argument, so animated scenes refresh it per
+    frame without retracing the engine."""
+
+    bc: object  # accel.pallas_binned.BinnedClusters
+    light_prim_ids: jnp.ndarray  # [L] i32 global prim ids
+    areas: jnp.ndarray  # [L] f32
+
+
+def build_light_accel(tri_verts_np, light_prim_ids_np) -> LightAccel:
+    """Pack the emissive subset for `make_binned_light_intersector`
+    (host-side numpy build, like the main accel's)."""
+    import numpy as np
+
+    from henjou_tpu.accel.pallas_binned import pack_binned_np
+
+    sub = np.asarray(tri_verts_np, np.float32)[np.asarray(light_prim_ids_np)]
+    bc = pack_binned_np(sub)
+    e1 = sub[:, 1] - sub[:, 0]
+    e2 = sub[:, 2] - sub[:, 0]
+    return LightAccel(
+        bc=bc,
+        light_prim_ids=jnp.asarray(
+            np.asarray(light_prim_ids_np).astype(np.int32)
+        ),
+        areas=jnp.asarray(0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)),
+    )
+
+
+def make_binned_light_intersector(light_accel: LightAccel, interpret=None):
+    """Accelerated replacement for `intersect_lights` when the scene has
+    MANY emissive triangles (mesh-light-heavy contest scenes): trace the
+    emissive SUBSET with the production Pallas kernel, so the MIS
+    BSDF-branch light query costs ~O(taken clusters) instead of the dense
+    O(R*L) Moller-Trumbore (flat-ish in L; VERDICT r2 ask #6).
+
+    Returns light_isect(frame, o, d, tmin, tmax) with the
+    intersect_lights contract (t, GLOBAL prim id, u, v, hit, area).
+    Reference counterpart: the branch trace is a full optixTrace there
+    (rt.h:396); this specializes it to the emissive geometry only."""
+    from henjou_tpu.accel.pallas_binned import intersect_binned
+
+    def light_isect(frame, ray_o, ray_d, tmin, tmax):
+        interp = (
+            jax.default_backend() == "cpu" if interpret is None else interpret
+        )
+        t, p, u, v, h = intersect_binned(
+            light_accel.bc, ray_o, ray_d, tmin, tmax, interpret=interp
+        )
+        safe = jnp.maximum(p, 0)
+        prim_g = jnp.where(h, light_accel.light_prim_ids[safe], -1)
+        area = jnp.where(h, light_accel.areas[safe], 0.0)
+        return t, prim_g, u, v, h, area
+
+    return light_isect

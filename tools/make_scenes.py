@@ -19,9 +19,100 @@ from henjou_tpu.scene.testscenes import cornell_box_scene, sphere_gallery_scene
 SCENES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scenes")
 
 
-def scene_to_gltf(scene, name: str, camera=None, animated_node=None) -> dict:
+def write_checker_png(path: str, n: int = 512, tiles: int = 8):
+    """Checkerboard base-color texture (sRGB PNG) for the textured floor."""
+    from henjou_tpu.post.png import write_png
+
+    y, x = np.mgrid[0:n, 0:n]
+    c = ((x * tiles // n) + (y * tiles // n)) % 2
+    img = np.where(
+        c[..., None] == 0,
+        np.asarray([[230, 226, 218]], np.uint8),
+        np.asarray([[60, 62, 70]], np.uint8),
+    ).astype(np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_png(path, img)
+
+
+def write_gradient_hdr(path: str, w: int = 128, h: int = 64):
+    """Small equirect Radiance .hdr sky: horizon-to-zenith gradient plus a
+    warm sun disc — flat (non-RLE) scanlines, which texture/hdr.read_hdr
+    decodes."""
+    th = (np.arange(h) + 0.5) / h * np.pi  # 0=zenith
+    ph = (np.arange(w) + 0.5) / w * 2 * np.pi
+    t = np.cos(th)[:, None]  # 1 at zenith, -1 at nadir
+    sky = np.stack(
+        [
+            0.18 + 0.25 * (1 - t),
+            0.32 + 0.35 * (1 - t) * 0.6,
+            0.65 + 0.3 * t,
+        ],
+        axis=-1,
+    ) * np.ones((h, w, 1))
+    sky = np.where(t[..., None] < 0, sky * 0.25 + 0.05, sky)  # dim ground half
+    # sun at (theta=65deg, phi=120deg)
+    sth, sph = np.radians(65.0), np.radians(120.0)
+    sun_dir = np.asarray(
+        [np.sin(sth) * np.cos(sph), np.cos(sth), np.sin(sth) * np.sin(sph)]
+    )
+    dirs = np.stack(
+        [
+            np.sin(th)[:, None] * np.cos(ph)[None, :],
+            np.cos(th)[:, None] * np.ones((1, w)),
+            np.sin(th)[:, None] * np.sin(ph)[None, :],
+        ],
+        axis=-1,
+    )
+    cosang = dirs @ sun_dir
+    sky = sky + np.clip(cosang - 0.997, 0, 1)[..., None] * np.asarray(
+        [4000.0, 3600.0, 3000.0]
+    )
+    img = sky.astype(np.float32)
+
+    # RGBE encode
+    maxc = img.max(axis=-1)
+    exp = np.where(maxc > 1e-32, np.ceil(np.log2(np.maximum(maxc, 1e-32))) + 1, 0)
+    scale = np.where(maxc > 1e-32, 2.0 ** (-exp) * 256.0, 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(maxc > 1e-32, exp + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def orbit_camera_animation(radius_hint: float, period_s: float = 10.0):
+    """Rotation keyframes for a full turntable orbit of the camera node:
+    the loader routes camera position through the full TRS affine and the
+    direction through rotation only (renderer.h:1149-1169 semantics), so
+    rotating the camera NODE about Y orbits the configured
+    camera_position around the origin."""
+    n_keys = 33
+    keys = np.linspace(0.0, period_s, n_keys)
+    vals = []
+    for i, t in enumerate(keys):
+        ang = 2 * np.pi * t / period_s
+        vals.append([0.0, float(np.sin(ang / 2)), 0.0, float(np.cos(ang / 2))])
+    return keys.astype(np.float32), np.asarray(vals, np.float32)
+
+
+def scene_to_gltf(
+    scene,
+    name: str,
+    camera=None,
+    animated_node=None,
+    images=None,
+    camera_orbit=None,
+) -> dict:
     """SceneData -> glTF dict with one mesh primitive per material run and
-    an embedded base64 buffer."""
+    an embedded base64 buffer.
+
+    images: list of image FILENAMES (relative to the .gltf) aligned with
+    texture ids referenced by the materials' base_color_tex slots.
+    camera: {"yfov": radians} adds a camera + camera node.
+    camera_orbit: (keys[N], quat_vals[N,4]) adds a rotation animation on
+    the camera node (turntable orbit)."""
     verts = scene.vertices.astype(np.float32)
     norms = scene.normals.astype(np.float32)
     tex = scene.texcoords.astype(np.float32)
@@ -97,13 +188,16 @@ def scene_to_gltf(scene, name: str, camera=None, animated_node=None) -> dict:
             ext["ThinFilm"] = {"is_ThinFilm": True}
         em = np.asarray(m["emission"], np.float32)
         strength = float(em.max()) if em.max() > 1.0 else 1.0
+        pbr = {
+            "baseColorFactor": [*map(float, m["base_color"]), 1.0],
+            "roughnessFactor": float(m["roughness"]),
+            "metallicFactor": float(m["metallic"]),
+        }
+        if m.get("base_color_tex", -1) >= 0:
+            pbr["baseColorTexture"] = {"index": int(m["base_color_tex"])}
         gm = {
             "name": m["name"],
-            "pbrMetallicRoughness": {
-                "baseColorFactor": [*map(float, m["base_color"]), 1.0],
-                "roughnessFactor": float(m["roughness"]),
-                "metallicFactor": float(m["metallic"]),
-            },
+            "pbrMetallicRoughness": pbr,
             "emissiveFactor": (em / strength).clip(0, 1).tolist(),
         }
         if strength > 1.0:
@@ -129,13 +223,88 @@ def scene_to_gltf(scene, name: str, camera=None, animated_node=None) -> dict:
         "scenes": [{"nodes": [0]}],
         "scene": 0,
     }
+    if images:
+        doc["images"] = [{"uri": fn} for fn in images]
+        doc["samplers"] = [{"wrapS": 10497, "wrapT": 10497}]
+        doc["textures"] = [
+            {"source": i, "sampler": 0} for i in range(len(images))
+        ]
+    if camera is not None:
+        cam_node = len(doc["nodes"])
+        doc["cameras"] = [
+            {
+                "type": "perspective",
+                "perspective": {"yfov": float(camera["yfov"])},
+            }
+        ]
+        doc["nodes"].append({"camera": 0, "name": "camera"})
+        doc["scenes"][0]["nodes"].append(cam_node)
+        if camera_orbit is not None:
+            keys, vals = camera_orbit
+            blob2 = keys.astype(np.float32).tobytes() + vals.astype(
+                np.float32
+            ).tobytes()
+            base = doc["buffers"][0]
+            prev = base64.b64decode(base["uri"].split(",", 1)[1])
+            bv0 = len(doc["bufferViews"])
+            doc["bufferViews"] += [
+                {
+                    "buffer": 0,
+                    "byteOffset": len(prev),
+                    "byteLength": keys.nbytes,
+                },
+                {
+                    "buffer": 0,
+                    "byteOffset": len(prev) + keys.nbytes,
+                    "byteLength": vals.nbytes,
+                },
+            ]
+            acc0 = len(doc["accessors"])
+            doc["accessors"] += [
+                {
+                    "bufferView": bv0,
+                    "componentType": 5126,
+                    "count": len(keys),
+                    "type": "SCALAR",
+                },
+                {
+                    "bufferView": bv0 + 1,
+                    "componentType": 5126,
+                    "count": len(vals),
+                    "type": "VEC4",
+                },
+            ]
+            doc.setdefault("animations", []).append(
+                {
+                    "samplers": [
+                        {
+                            "input": acc0,
+                            "output": acc0 + 1,
+                            "interpolation": "LINEAR",
+                        }
+                    ],
+                    "channels": [
+                        {
+                            "sampler": 0,
+                            "target": {"node": cam_node, "path": "rotation"},
+                        }
+                    ],
+                }
+            )
+            base["uri"] = (
+                "data:application/octet-stream;base64,"
+                + base64.b64encode(prev + blob2).decode()
+            )
+            base["byteLength"] = len(prev) + len(blob2)
     if animated_node:
-        doc["animations"] = [animated_node]
+        doc.setdefault("animations", []).append(animated_node)
     return doc
 
 
 def render_option(name, gltf_name, w, h, spp, cam_pos, cam_dir, sky, fov=45.0,
-                  integrator="mis"):
+                  integrator="mis", ibl_path="", use_ibl=False,
+                  camera_animation=False, end_frame=1, render_mode="Default",
+                  time_limit=5.0):
     return {
         "Image": {
             "image_width": w,
@@ -144,26 +313,45 @@ def render_option(name, gltf_name, w, h, spp, cam_pos, cam_dir, sky, fov=45.0,
             "image_directory": "./",
             "max_spp": spp,
         },
-        "Render_mode": "Default",
+        "Render_mode": render_mode,
         "GLTF_file": {"gltf_filepath": "./scenes/", "gltf_filename": gltf_name},
         "Camera": {
-            "allow_camera_animation": False,
+            "allow_camera_animation": camera_animation,
             "camera_position": list(cam_pos),
             "camera_direction": list(cam_dir),
             "camera_fov": fov,
         },
         "PTX_File": {"ptxfile_path": "(unused on TPU)"},
-        "Animation": {"fps": 24, "start_frame": 0, "end_frame": 1, "time_limit": 5.0},
+        "Animation": {
+            "fps": 24,
+            "start_frame": 0,
+            "end_frame": end_frame,
+            "time_limit": time_limit,
+        },
         "Sky": {
-            "IBL_path": "",
+            "IBL_path": ibl_path,
             "IBL_intensity": 1.0,
-            "use_IBL": False,
+            "use_IBL": use_ibl,
             "scene_sky_default": list(sky),
         },
         "Option": {"use_date": False, "save_renderOption": False},
         "LUT": {"LUT_path": ""},
         "TPU": {"spp_batch": 16, "integrator": integrator},
     }
+
+
+def write_gltf(doc, path, external_bin=False):
+    """Write a glTF doc; with external_bin, the embedded base64 buffer is
+    split out into a sibling .bin (the reference ships its test scenes
+    this way: Model/test_gltf/cornelbox.gltf + .bin)."""
+    if external_bin:
+        blob = base64.b64decode(doc["buffers"][0]["uri"].split(",", 1)[1])
+        bin_name = os.path.splitext(os.path.basename(path))[0] + ".bin"
+        with open(os.path.join(os.path.dirname(path), bin_name), "wb") as f:
+            f.write(blob)
+        doc["buffers"][0] = {"uri": bin_name, "byteLength": len(blob)}
+    with open(path, "w") as f:
+        json.dump(doc, f)
 
 
 def main():
@@ -189,6 +377,62 @@ def main():
             render_option(
                 "gallery", "sphere_gallery.gltf", 512, 288, 128,
                 (0.0, 1.2, -9.0), (0.0, -0.05, 1.0), (0.3, 0.4, 0.55),
+            ),
+            f,
+            indent=2,
+        )
+
+    # -------- config #3: thin-film sweep (720p, headline feature #1) ----
+    from henjou_tpu.scene.testscenes import rtcamp_scene, thinfilm_sweep_scene
+
+    tf = thinfilm_sweep_scene()
+    with open(os.path.join(SCENES, "thinfilm_sweep.gltf"), "w") as f:
+        json.dump(scene_to_gltf(tf, "thinfilm_sweep"), f)
+    with open(os.path.join(SCENES, "thinfilm_sweep_option.json"), "w") as f:
+        json.dump(
+            render_option(
+                "thinfilm", "thinfilm_sweep.gltf", 1280, 720, 512,
+                (0.0, 2.2, -13.0), (0.0, -0.12, 1.0), (0.25, 0.3, 0.4),
+            ),
+            f,
+            indent=2,
+        )
+
+    # -------- config #5: the contest-class scene (rtcamp9 regime) -------
+    # ~255k tris, textured floor, IBL sky, 18 mesh-light tris, thin-film
+    # AND minus-IOR materials, animated orbit camera; 1080p @ 1024 spp
+    # under the reference's shipped 300 s budget
+    # (/root/reference/HenjouRenderer/render_option.json time_limit=5.0)
+    write_checker_png(os.path.join(SCENES, "texture", "checker.png"))
+    write_gradient_hdr(os.path.join(SCENES, "rtcamp_sky.hdr"))
+    rt = rtcamp_scene()
+    doc = scene_to_gltf(
+        rt,
+        "rtcamp",
+        camera={"yfov": np.radians(40.0)},
+        images=["texture/checker.png"],
+        camera_orbit=orbit_camera_animation(radius_hint=14.0),
+    )
+    write_gltf(doc, os.path.join(SCENES, "rtcamp.gltf"), external_bin=True)
+    with open(os.path.join(SCENES, "rtcamp_option.json"), "w") as f:
+        json.dump(
+            render_option(
+                "rtcamp", "rtcamp.gltf", 1920, 1080, 1024,
+                (0.0, 6.0, -16.5), (0.0, -0.28, 1.0), (0.2, 0.25, 0.35),
+                fov=40.0, ibl_path="./scenes/rtcamp_sky.hdr", use_ibl=True,
+                camera_animation=True, end_frame=2, render_mode="Denoise",
+            ),
+            f,
+            indent=2,
+        )
+    # 720p variant (the reference's shipped resolution)
+    with open(os.path.join(SCENES, "rtcamp_720_option.json"), "w") as f:
+        json.dump(
+            render_option(
+                "rtcamp720", "rtcamp.gltf", 1280, 720, 5000,
+                (0.0, 6.0, -16.5), (0.0, -0.28, 1.0), (0.2, 0.25, 0.35),
+                fov=40.0, ibl_path="./scenes/rtcamp_sky.hdr", use_ibl=True,
+                camera_animation=True, end_frame=2, render_mode="Denoise",
             ),
             f,
             indent=2,
