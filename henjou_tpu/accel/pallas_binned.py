@@ -735,17 +735,19 @@ def _scene_exit_t(bc: BinnedClusters, ray_o, ray_d, tmin):
     )
 
 
-def make_binned_intersector(bc: BinnedClusters):
+def make_binned_intersector(bc: BinnedClusters, ray_tile: int = RAY_TILE):
     def intersect_fn(tri_verts, ray_o, ray_d, tmin, tmax=TMAX_RAY):
         return intersect_binned(
             bc, ray_o, ray_d, tmin, tmax,
             interpret=jax.default_backend() == "cpu",
+            ray_tile=ray_tile,
         )
 
     def occluded_fn(tri_verts, ray_o, ray_d, tmin, tmax):
         _, _, _, _, hit = intersect_binned(
             bc, ray_o, ray_d, tmin, tmax, any_hit=True,
             interpret=jax.default_backend() == "cpu",
+            ray_tile=ray_tile,
         )
         return hit
 

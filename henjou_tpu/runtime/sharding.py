@@ -90,6 +90,12 @@ def wavefront_sharded_step(
         mesh=mesh,
         in_specs=(P(axis),),
         out_specs=(P(), P(), P(), P()),
+        # Pallas kernels inside the per-device body (binned intersector,
+        # bitonic sorts) produce ShapeDtypeStruct outputs without a vma
+        # annotation; disable the varying-mesh-axes check rather than
+        # thread vma through every pallas_call (outputs are reduced with
+        # an explicit psum below, so the collective contract is explicit)
+        check_vma=False,
     )
     def step(spp_offsets):
         film = wavefront_fn(spp_offsets[0])

@@ -74,3 +74,31 @@ def test_fps_txt_override(tmp_path):
     (tmp_path / "fps.txt").write_text("60\n")
     opt = load_render_option(str(p))
     assert opt.fps == 60  # side-channel override (render_json_loader.h:164-171)
+
+
+@pytest.mark.slow
+def test_checked_in_obj_scene_renders(tmp_path):
+    """The checked-in OBJ validation scene (scenes/cornelbox.obj + .mtl +
+    config) renders end-to-end through the config path — the reference's
+    Model/test_obj regime (objloader.h:12-171)."""
+    import dataclasses
+    import json
+
+    doc = json.load(open(os.path.join(ROOT, "scenes", "cornelbox_obj_option.json")))
+    doc["Image"]["image_width"] = doc["Image"]["image_height"] = 32
+    doc["Image"]["max_spp"] = 4
+    doc["Image"]["image_directory"] = str(tmp_path)
+    p = tmp_path / "obj_opt.json"
+    p.write_text(json.dumps(doc))
+
+    from henjou_tpu.runtime.renderer import Renderer
+
+    r = Renderer()
+    written = r.initialize_and_render(str(p))
+    assert written and os.path.exists(written[0])
+    from henjou_tpu.post.png import read_png
+
+    img = read_png(written[0])
+    assert img.shape[:2] == (32, 32)
+    # the light patch must be visibly bright somewhere
+    assert img.max() > 100

@@ -354,6 +354,87 @@ def write_gltf(doc, path, external_bin=False):
         json.dump(doc, f)
 
 
+def write_obj_scene():
+    """Checked-in OBJ + MTL scene (the reference regime: Model/test_obj/
+    cornelbox/sphere via objloader.h:12-171): a Cornell-style box authored
+    as OBJ with per-material groups, plus a sphere on the floor."""
+    from henjou_tpu.scene.testscenes import _uv_sphere
+
+    lines = ["mtllib cornelbox.mtl"]
+    verts = []
+
+    def emit_quad(p0, p1, p2, p3, mtl):
+        base = len(verts) + 1
+        verts.extend([p0, p1, p2, p3])
+        lines.append(f"usemtl {mtl}")
+        lines.append(f"f {base} {base+1} {base+2}")
+        lines.append(f"f {base} {base+2} {base+3}")
+
+    s = 2.78  # half-size, classic cornell scaled to ~5.56 units
+    emit_quad([-s, 0, -s], [-s, 0, s], [s, 0, s], [s, 0, -s], "white")  # floor
+    emit_quad([-s, 2 * s, -s], [s, 2 * s, -s], [s, 2 * s, s], [-s, 2 * s, s], "white")  # ceiling
+    emit_quad([-s, 0, s], [-s, 2 * s, s], [s, 2 * s, s], [s, 0, s], "white")  # back
+    emit_quad([-s, 0, -s], [-s, 2 * s, -s], [-s, 2 * s, s], [-s, 0, s], "green")  # left
+    emit_quad([s, 0, -s], [s, 0, s], [s, 2 * s, s], [s, 2 * s, -s], "red")  # right
+    l = 0.65
+    emit_quad(
+        [-l, 2 * s - 0.01, -l], [l, 2 * s - 0.01, -l],
+        [l, 2 * s - 0.01, l], [-l, 2 * s - 0.01, l], "light",
+    )
+
+    # a sphere on the floor (smooth normals via v//vn faces)
+    sv, sn = _uv_sphere((0.0, 1.0, 0.0), 1.0, lat=12, lon=24)
+    base_v = len(verts) + 1
+    lines.append("usemtl mirror")
+    vn_lines = []
+    for k in range(0, len(sv), 3):
+        for j in range(3):
+            verts.append(sv[k + j].tolist())
+            vn_lines.append(sn[k + j])
+        i = base_v + k
+        lines.append(f"f {i}//{i} {i+1}//{i+1} {i+2}//{i+2}")
+
+    out = ["# henjou_tpu OBJ validation scene (make_scenes.write_obj_scene)"]
+    out += [f"v {p[0]:.6g} {p[1]:.6g} {p[2]:.6g}" for p in verts[: base_v - 1]]
+    # sphere verts carry normals; pad vn list so indices line up (vn index
+    # == v index for sphere verts; walls use face-normal fallback)
+    for p in verts[base_v - 1 :]:
+        out.append(f"v {p[0]:.6g} {p[1]:.6g} {p[2]:.6g}")
+    vn_full = [[0.0, 1.0, 0.0]] * (base_v - 1) + [n.tolist() for n in vn_lines]
+    out += [f"vn {n[0]:.6g} {n[1]:.6g} {n[2]:.6g}" for n in vn_full]
+    out += lines
+
+    with open(os.path.join(SCENES, "cornelbox.obj"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    mtl = """# henjou_tpu OBJ validation materials
+newmtl white
+Kd 0.73 0.73 0.73
+newmtl red
+Kd 0.63 0.06 0.05
+newmtl green
+Kd 0.12 0.45 0.12
+newmtl light
+Kd 0.0 0.0 0.0
+Ke 17.0 12.0 4.0
+newmtl mirror
+Kd 0.9 0.9 0.9
+Pm 1.0
+Pr 0.15
+"""
+    with open(os.path.join(SCENES, "cornelbox.mtl"), "w") as f:
+        f.write(mtl)
+    with open(os.path.join(SCENES, "cornelbox_obj_option.json"), "w") as f:
+        json.dump(
+            render_option(
+                "cornell_obj", "cornelbox.obj", 256, 256, 64,
+                (0.0, 2.78, -9.5), (0.0, 0.0, 1.0), (0.0, 0.0, 0.0),
+                fov=40.0,
+            ),
+            f,
+            indent=2,
+        )
+
+
 def main():
     os.makedirs(SCENES, exist_ok=True)
     cornell = cornell_box_scene()
@@ -437,6 +518,7 @@ def main():
             f,
             indent=2,
         )
+    write_obj_scene()
     print("wrote scenes to", SCENES)
 
 
