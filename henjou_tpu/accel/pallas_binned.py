@@ -90,11 +90,37 @@ def _median_split_order(centroids: np.ndarray) -> np.ndarray:
     return out.astype(np.int32)
 
 
+def _baldwin_rows_np(v0, e1, e2):
+    """Per-triangle Baldwin-Weber transform (12 floats): plane (n, d)
+    plus two affine barycentric rows (g1,h1), (g2,h2) with
+    u = g1·P + h1, v = g2·P + h2 for P on the plane. Derivation:
+    dotting P-A = u·e1 + v·e2 with (e2×n) / (n·n) isolates u (the
+    triple products (e2×n)·e1 = n·n, (e2×n)·e2 = 0), and symmetrically
+    (n×e1) isolates v. Cuts the in-kernel test from ~47 vector ops
+    (Möller-Trumbore: two cross products per ray-triangle) to ~31
+    (plane hit + two affine evals); the cross products are hoisted to
+    build time. Degenerate triangles get all-zero rows -> n·d == 0 ->
+    culled in-kernel exactly like an MT zero determinant."""
+    n = np.cross(e1, e2)
+    nn = (n * n).sum(axis=1, keepdims=True)
+    ok = nn > 0.0
+    inv_nn = np.where(ok, 1.0 / np.where(ok, nn, 1.0), 0.0)
+    g1 = np.cross(e2, n) * inv_nn
+    g2 = np.cross(n, e1) * inv_nn
+    n = np.where(ok, n, 0.0)
+    d = (n * v0).sum(axis=1)
+    h1 = -(g1 * v0).sum(axis=1)
+    h2 = -(g2 * v0).sum(axis=1)
+    return n, d, g1, h1, g2, h2
+
+
 def pack_binned_np(tri_verts) -> BinnedClusters:
     """Host-side numpy build: median-split triangles into K-wide leaf
-    clusters, fold the original-id plane into the DMA rows (plane 9),
-    and union group AABBs. (Layout as pack_clusters_hbm_np, plus ids in
-    the rows so the kernel needs no VMEM-resident id table.)"""
+    clusters, fold the original-id plane into the DMA rows (plane 12),
+    and union group AABBs. Rows carry the Baldwin-Weber transform
+    (planes 0-11: n|d|g1|h1|g2|h2, see _baldwin_rows_np), not raw
+    vertices — the kernel's per-triangle test is plane-hit + two affine
+    barycentric evals, no cross products."""
     tv = np.asarray(tri_verts, np.float32)
     t = tv.shape[0]
     centroids = tv.mean(axis=1)
@@ -135,12 +161,14 @@ def pack_binned_np(tri_verts) -> BinnedClusters:
     gaabb[3:6, :g] = gmaxs.T
     gaabb[3:6, g:] = -_BIG
 
+    nrm, dpl, g1, h1, g2, h2 = _baldwin_rows_np(v0, e1, e2)
     rows = np.zeros((ctot, 16, K), np.float32)
-    comps = [v0[:, 0], v0[:, 1], v0[:, 2], e1[:, 0], e1[:, 1], e1[:, 2],
-             e2[:, 0], e2[:, 1], e2[:, 2]]
+    comps = [nrm[:, 0], nrm[:, 1], nrm[:, 2], dpl,
+             g1[:, 0], g1[:, 1], g1[:, 2], h1,
+             g2[:, 0], g2[:, 1], g2[:, 2], h2]
     for i, comp in enumerate(comps):
         rows[:, i, :] = comp.reshape(ctot, K)
-    rows[:, 9, :] = order_p.reshape(ctot, K).view(np.float32)
+    rows[:, 12, :] = order_p.reshape(ctot, K).view(np.float32)
     rows = rows.reshape(-1, K)
 
     return BinnedClusters(
@@ -235,15 +263,25 @@ def build_binned_from_order(
     gaabb = gaabb.at[0:3, :num_groups].set(gmins.T)
     gaabb = gaabb.at[3:6, :num_groups].set(gmaxs.T)
 
+    # Baldwin-Weber transform, same derivation as _baldwin_rows_np
+    nrm = jnp.cross(e1, e2)
+    nn = jnp.sum(nrm * nrm, axis=1, keepdims=True)
+    okt = nn > 0.0
+    inv_nn = jnp.where(okt, 1.0 / jnp.where(okt, nn, 1.0), 0.0)
+    g1 = jnp.cross(e2, nrm) * inv_nn
+    g2 = jnp.cross(nrm, e1) * inv_nn
+    nrm = jnp.where(okt, nrm, 0.0)
+    dpl = jnp.sum(nrm * v0, axis=1)
+    h1 = -jnp.sum(g1 * v0, axis=1)
+    h2 = -jnp.sum(g2 * v0, axis=1)
+    zero = jnp.zeros_like(dpl)
     rows = jnp.stack(
         [
-            v0[:, 0], v0[:, 1], v0[:, 2],
-            e1[:, 0], e1[:, 1], e1[:, 2],
-            e2[:, 0], e2[:, 1], e2[:, 2],
+            nrm[:, 0], nrm[:, 1], nrm[:, 2], dpl,
+            g1[:, 0], g1[:, 1], g1[:, 2], h1,
+            g2[:, 0], g2[:, 1], g2[:, 2], h2,
             jax.lax.bitcast_convert_type(order, jnp.float32),
-            jnp.zeros_like(v0[:, 0]), jnp.zeros_like(v0[:, 0]),
-            jnp.zeros_like(v0[:, 0]), jnp.zeros_like(v0[:, 0]),
-            jnp.zeros_like(v0[:, 0]), jnp.zeros_like(v0[:, 0]),
+            zero, zero, zero,
         ],
         axis=1,
     ).reshape(ctot, K, 16).transpose(0, 2, 1).reshape(-1, K)
@@ -458,38 +496,40 @@ def _kernel(
         return jnp.any(tlo <= thi)
 
     def mt_block(src_ref, b):
-        """Dense Moller-Trumbore of the tile against src_ref rows
-        [b, b+16) (one K-wide cluster); ids ride in plane 9."""
+        """Dense triangle test of the tile against src_ref rows
+        [b, b+16) (one K-wide cluster); ids ride in plane 12. The test
+        is the Baldwin-Weber transformed form (plane hit + two affine
+        barycentric evals, ~31 vector ops) — the per-triangle cross
+        products of Möller-Trumbore (~47 ops) are precomputed into the
+        rows at build time (_baldwin_rows_np)."""
         best_t_j = bt_ref[:]
-        v0xr = src_ref[pl.ds(b + 0, 1), :]
-        v0yr = src_ref[pl.ds(b + 1, 1), :]
-        v0zr = src_ref[pl.ds(b + 2, 1), :]
-        e1xr = src_ref[pl.ds(b + 3, 1), :]
-        e1yr = src_ref[pl.ds(b + 4, 1), :]
-        e1zr = src_ref[pl.ds(b + 5, 1), :]
-        e2xr = src_ref[pl.ds(b + 6, 1), :]
-        e2yr = src_ref[pl.ds(b + 7, 1), :]
-        e2zr = src_ref[pl.ds(b + 8, 1), :]
+        nxr = src_ref[pl.ds(b + 0, 1), :]
+        nyr = src_ref[pl.ds(b + 1, 1), :]
+        nzr = src_ref[pl.ds(b + 2, 1), :]
+        dplr = src_ref[pl.ds(b + 3, 1), :]
+        g1xr = src_ref[pl.ds(b + 4, 1), :]
+        g1yr = src_ref[pl.ds(b + 5, 1), :]
+        g1zr = src_ref[pl.ds(b + 6, 1), :]
+        h1r = src_ref[pl.ds(b + 7, 1), :]
+        g2xr = src_ref[pl.ds(b + 8, 1), :]
+        g2yr = src_ref[pl.ds(b + 9, 1), :]
+        g2zr = src_ref[pl.ds(b + 10, 1), :]
+        h2r = src_ref[pl.ds(b + 11, 1), :]
         ordr = jax.lax.bitcast_convert_type(
-            src_ref[pl.ds(b + 9, 1), :], jnp.int32
+            src_ref[pl.ds(b + 12, 1), :], jnp.int32
         )
 
-        pvx = dy * e2zr - dz * e2yr
-        pvy = dz * e2xr - dx * e2zr
-        pvz = dx * e2yr - dy * e2xr
-        det = e1xr * pvx + e1yr * pvy + e1zr * pvz
-        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        tvx = ox - v0xr
-        tvy = oy - v0yr
-        tvz = oz - v0zr
-        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        qvx = tvy * e1zr - tvz * e1yr
-        qvy = tvz * e1xr - tvx * e1zr
-        qvz = tvx * e1yr - tvy * e1xr
-        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-        tt = (e2xr * qvx + e2yr * qvy + e2zr * qvz) * inv_det
+        nd = dx * nxr + dy * nyr + dz * nzr
+        no = ox * nxr + oy * nyr + oz * nzr
+        inv_nd = jnp.where(jnp.abs(nd) > 1e-12, 1.0 / nd, 0.0)
+        tt = (dplr - no) * inv_nd
+        px = ox + tt * dx
+        py = oy + tt * dy
+        pz = oz + tt * dz
+        uu = h1r + g1xr * px + g1yr * py + g1zr * pz
+        vv = h2r + g2xr * px + g2yr * py + g2zr * pz
         ok = (
-            (jnp.abs(det) > 1e-12)
+            (jnp.abs(nd) > 1e-12)
             & (uu >= 0.0)
             & (vv >= 0.0)
             & (uu + vv <= 1.0)

@@ -7,6 +7,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from henjou_tpu.bsdf.fastggx import fast_ggx_eval, fast_ggx_sample
 from henjou_tpu.sampling.cmj import make_cmj_state

@@ -102,6 +102,15 @@ def main():
             ifn, ofn = make_bitonic_sorted_intersector(
                 ifn, ofn, pc.scene_lo, pc.scene_hi
             )
+        elif variant == "hybrid":
+            # pool sort makes the RADIANCE trace coherent for free (no
+            # inverse permutation); the occlusion queries keep their own
+            # per-trace sort (their directions — toward lights — differ
+            # from the pool order, which is why full-pool regressed in r2)
+            _, ofn = make_bitonic_sorted_intersector(
+                ifn, ofn, pc.scene_lo, pc.scene_hi
+            )
+            pk = pool_key
         else:
             pk = pool_key
 
@@ -146,13 +155,21 @@ def main():
     configs = [
         ("pertrace", 256, 1 << 16),  # round-2 baseline
         ("pool", 256, 1 << 16),
+        ("hybrid", 256, 1 << 16),
         ("pertrace", 128, 1 << 16),
         ("pertrace", 64, 1 << 16),
         ("pertrace", 256, 1 << 17),
         ("pertrace", 256, 1 << 18),
     ]
+    if "big" in sys.argv[2:]:
+        # measured 2026-08-17: rt<256 loses to per-program overhead; test
+        # the other direction (fewer, fatter programs)
+        configs = [
+            ("pertrace", 512, 1 << 16),
+            ("pertrace", 1024, 1 << 16),
+        ]
     if quick:
-        configs = configs[:2]
+        configs = configs[:1]
     for cfg in configs:
         try:
             marginal(*cfg)
