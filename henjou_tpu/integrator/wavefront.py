@@ -232,12 +232,19 @@ def wavefront_render(
             to_light = l_pos - hit.position
             l_dist = jnp.maximum(length(to_light), 1e-12)
             l_dir = to_light / l_dist[:, None]
+            # specular lanes contribute exactly zero to NEE (bsdf_eval is
+            # the delta lobe's 0, glass.py:77-79), so their shadow rays
+            # are zero-width — the sort wrapper sinks them and the
+            # kernel's prepass culls their tiles outright
             shadow_blocked = occluded(
                 frame, hit.position, l_dir, eps_r,
-                jnp.where(alive, l_dist * (1.0 - SHADOW_EPS_REL), 0.0),
+                jnp.where(
+                    alive & ~hit.is_specular,
+                    l_dist * (1.0 - SHADOW_EPS_REL), 0.0,
+                ),
                 occluded_fn,
             )
-            n_tr = n_tr + jnp.sum(alive.astype(jnp.float32))
+            n_tr = n_tr + jnp.sum((alive & ~hit.is_specular).astype(jnp.float32))
             cos1 = absdot(n, l_dir)
             cos2 = absdot(l_normal, -l_dir)
             local_wi_l = world_to_local(l_dir, t, n, b)

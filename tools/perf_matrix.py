@@ -102,6 +102,13 @@ def main():
             ifn, ofn = make_bitonic_sorted_intersector(
                 ifn, ofn, pc.scene_lo, pc.scene_hi
             )
+        elif variant == "occlraw":
+            # per-trace sort on the radiance trace only; occlusion
+            # queries go in engine order (costs kernel time, saves 4 of
+            # 6 bitonic sorts)
+            ifn, _ = make_bitonic_sorted_intersector(
+                ifn, ofn, pc.scene_lo, pc.scene_hi
+            )
         elif variant == "hybrid":
             # pool sort makes the RADIANCE trace coherent for free (no
             # inverse permutation); the occlusion queries keep their own
@@ -161,6 +168,8 @@ def main():
         ("pertrace", 256, 1 << 17),
         ("pertrace", 256, 1 << 18),
     ]
+    if "occlraw" in sys.argv[2:]:
+        configs = [("occlraw", 256, 1 << 16)]
     if "big" in sys.argv[2:]:
         # measured 2026-08-17: rt<256 loses to per-program overhead; test
         # the other direction (fewer, fatter programs)
