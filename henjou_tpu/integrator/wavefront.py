@@ -84,10 +84,23 @@ def wavefront_render(
     spp_offset=0,
     pool_key_fn: Optional[Callable] = None,
     light_isect_fn: Optional[Callable] = None,
+    pixel_base=0,
+    pixel_count: Optional[int] = None,
 ) -> WavefrontFilm:
     """Render width*height pixels at `spp` samples with a `lanes`-wide
     refilling pool. Returns per-pixel SUMS (divide by spp outside).
     Jittable; all shapes static.
+
+    `pixel_base`/`pixel_count` select a contiguous pixel CHUNK
+    [pixel_base, pixel_base+pixel_count) of the image: the returned film
+    covers only that chunk ([pixel_count, 9] packed). Chunking exists
+    because the film scatter-add costs per ROW with a per-row rate that
+    CLIFFS with the film operand size (measured on v5e: 24 ns/row at a
+    <=262k-px film vs 114 ns/row at 1080p — tools/exp_scatter.py), so a
+    1080p frame is ~5.6 ms/iter cheaper rendered as eight 512^2-sized
+    chunks. The CMJ stream and camera rays use the GLOBAL pixel id, so a
+    chunked render is bitwise-identical to an unchunked one.
+    `pixel_base` may be a traced scalar; `pixel_count` is static.
 
     `pool_key_fn(o, d) -> i32 key`: when given, the WHOLE lane pool is
     re-sorted by the key of each lane's outgoing ray at the end of every
@@ -107,7 +120,8 @@ def wavefront_render(
         assert bsdf_pdf is not None
 
     eps_r = ray_eps(frame)  # scene-relative tmin (constants.ray_eps)
-    n_pixels = width * height
+    n_pixels = pixel_count if pixel_count is not None else width * height
+    pbase_u = jnp.asarray(pixel_base).astype(jnp.uint32)
     total_samples = n_pixels * spp
     if max_iters is None:
         # enough bounces to drain everything even if all paths run full depth
@@ -132,14 +146,16 @@ def wavefront_render(
     n_wraps = lanes // n_pixels + 1
 
     def spawn(pix, spp_idx):
-        """(pixel, spp) -> fresh path state. No integer div/mod anywhere —
-        u32 division is software-expanded on TPU (~5 ms per 64k lanes) and
-        this runs every refill iteration."""
-        pix = pix.astype(jnp.uint32)
+        """(CHUNK-LOCAL pixel, spp) -> fresh path state. No integer
+        div/mod anywhere — u32 division is software-expanded on TPU
+        (~5 ms per 64k lanes) and this runs every refill iteration.
+        The CMJ stream and the camera ray are keyed on the GLOBAL pixel
+        id so chunked renders match unchunked bitwise."""
+        gpix = pix.astype(jnp.uint32) + pbase_u
         st = make_cmj_state(
-            spp_idx.astype(jnp.uint32) + jnp.uint32(spp_offset), pix, seed
+            spp_idx.astype(jnp.uint32) + jnp.uint32(spp_offset), gpix, seed
         )
-        o, d, st = camera_rays(cam, width, height, pix, st)
+        o, d, st = camera_rays(cam, width, height, gpix, st)
         return o, d, st
 
     # initial fill: pixel-major sample order (sample s -> pixel s % P,

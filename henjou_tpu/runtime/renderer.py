@@ -66,6 +66,18 @@ def _swizzled_pixel_order(width: int, height: int, bw: int = 32, bh: int = 16):
     return np.argsort(key * (bw * bh) + inner, kind="stable").astype(np.uint32)
 
 
+def _pixel_chunks(n_pixels: int, chunk_max: int):
+    """[(base, count)] contiguous pixel chunks, all but the last equal-
+    sized, each <= chunk_max (film scatter fast-regime bound)."""
+    if n_pixels <= chunk_max:
+        return [(0, n_pixels)]
+    n_chunks = -(-n_pixels // chunk_max)
+    size = -(-n_pixels // n_chunks)
+    return [
+        (b, min(size, n_pixels - b)) for b in range(0, n_pixels, size)
+    ]
+
+
 class Renderer:
     def __init__(
         self,
@@ -202,6 +214,10 @@ class Renderer:
     # the dense chunked Moller-Trumbore (cost O(R*L)) for the binned
     # Pallas kernel over the emissive subset (sampling/light_sample.py)
     BINNED_LIGHT_THRESHOLD = 512
+    # film scatter-add stays in its fast per-row regime up to ~a 512^2
+    # [P,9] f32 film (measured cliff, tools/exp_scatter.py); bigger
+    # frames render in pixel chunks of at most this many pixels
+    FILM_CHUNK_PIXELS = 1 << 18
 
     def _select_accel(self, frame_scene):
         """Pick the intersector for this frame: brute force for tiny
@@ -679,6 +695,15 @@ class Renderer:
                     "binned light intersector: %d emissive tris", n_lights
                 )
 
+        n = width * height
+        # Pixel-chunked film: the film scatter-add's per-row cost cliffs
+        # when the film operand leaves the fast regime (~24 ns/row at
+        # <=262k px vs ~114 ns/row at 1080p, tools/exp_scatter.py), so
+        # big frames render as contiguous pixel chunks sized like 512^2.
+        # pixel_base rides as a traced arg — one compile per chunk SIZE,
+        # not per chunk.
+        chunks = _pixel_chunks(n, self.FILM_CHUNK_PIXELS)
+
         use_args = accel is not None  # see render_frame miscompile note
         if use_args:
             wf_key = (
@@ -690,10 +715,12 @@ class Renderer:
             )
             cache = getattr(self, "_wf_cache", {})
             if cache.get("key") != wf_key:
-                @functools.partial(jax.jit, static_argnames=("spp",))
+                @functools.partial(
+                    jax.jit, static_argnames=("spp", "pixel_count")
+                )
                 def wf_args(
                     frame_scene, accel, light_accel, cam, spp_offset, seed,
-                    spp: int,
+                    pixel_base, spp: int, pixel_count: int,
                 ):
                     ifn, ofn, pool_key = Renderer._accel_adapters_wavefront(
                         accel, lanes
@@ -712,30 +739,31 @@ class Renderer:
                         intersect_fn=ifn, occluded_fn=ofn,
                         spp_offset=spp_offset, pool_key_fn=pool_key,
                         light_isect_fn=lfn,
+                        pixel_base=pixel_base, pixel_count=pixel_count,
                     )
 
                 cache = {"key": wf_key, "fn": wf_args}
                 self._wf_cache = cache
 
-            def wf_step(spp_offset, spp: int):
+            def wf_step(spp_offset, spp: int, base: int, count: int):
                 return cache["fn"](
                     frame_scene, accel, light_accel, cam, spp_offset,
-                    jnp.uint32(opt.seed + frame), spp=spp,
+                    jnp.uint32(opt.seed + frame), jnp.uint32(base),
+                    spp=spp, pixel_count=count,
                 )
         else:
             intersect_fn, occluded_fn = Renderer._accel_adapters(accel)
 
-            @functools.partial(jax.jit, static_argnames=("spp",))
-            def wf_step(spp_offset, spp: int):
+            @functools.partial(jax.jit, static_argnames=("spp", "count"))
+            def wf_step(spp_offset, spp: int, base=0, count: int = n):
                 return wavefront_render(
                     frame_scene, sky, cam, width, height, spp, bsdf_sample,
                     bsdf_eval=bsdf_eval, bsdf_pdf=bsdf_pdf,
                     integrator=integrator, seed=opt.seed + frame, lanes=lanes,
                     intersect_fn=intersect_fn, occluded_fn=occluded_fn,
                     spp_offset=spp_offset,
+                    pixel_base=jnp.uint32(base), pixel_count=count,
                 )
-
-        n = width * height
         if resume is not None:
             color, albedo, normal, spp_done = resume
         else:
@@ -748,11 +776,12 @@ class Renderer:
         t0 = time.monotonic()
         while spp_done < opt.max_spp:
             cur = min(batch, opt.max_spp - spp_done)
-            film = wf_step(jnp.uint32(spp_done), spp=cur)
-            color += np.asarray(film.color)
-            albedo += np.asarray(film.albedo)
-            normal += np.asarray(film.normal)
-            traces += float(film.n_traces)
+            for base, count in chunks:
+                film = wf_step(jnp.uint32(spp_done), cur, base, count)
+                color[base : base + count] += np.asarray(film.color)
+                albedo[base : base + count] += np.asarray(film.albedo)
+                normal[base : base + count] += np.asarray(film.normal)
+                traces += float(film.n_traces)
             spp_done += cur
             if checkpoint_path:
                 np.savez(

@@ -170,3 +170,18 @@ def test_golden_cornell_regression():
     golden = read_png(golden_path)[..., :3]
     rmse = np.sqrt(((u8.astype(np.float32) - golden.astype(np.float32)) ** 2).mean())
     assert rmse < 2.0, f"golden mismatch: RMSE {rmse}"
+
+
+def test_wavefront_film_chunking_matches_single_chunk(monkeypatch):
+    """Renderer-level pixel chunking (film scatter size-cliff fix,
+    FILM_CHUNK_PIXELS): a frame rendered in 4 chunks must match the
+    whole-film render to fp add-order."""
+    r = _mk_renderer(spp=4, size=32, engine="wavefront")
+    whole = r.render_frame(0)
+    monkeypatch.setattr(Renderer, "FILM_CHUNK_PIXELS", 256)
+    r2 = _mk_renderer(spp=4, size=32, engine="wavefront")
+    chunked = r2.render_frame(0)
+    np.testing.assert_allclose(
+        chunked["color"], whole["color"], rtol=1e-6, atol=1e-7
+    )
+    assert chunked["spp_done"] == whole["spp_done"]

@@ -203,3 +203,40 @@ def test_wavefront_pool_sort_is_estimator_invariant():
         np.asarray(sorted_.color), np.asarray(base.color), rtol=1e-4, atol=1e-5
     )
     assert float(sorted_.n_traces) == float(base.n_traces)
+
+
+def test_wavefront_pixel_chunks_match_unchunked():
+    """Pixel-chunked rendering (film-scatter size-cliff fix) must be
+    bitwise-identical to one unchunked call: the CMJ stream and camera
+    rays key on the GLOBAL pixel id (wavefront.py spawn)."""
+    from henjou_tpu.integrator.wavefront import wavefront_render
+
+    dev = build_device_scene(cornell_box_scene())
+    frame = build_frame_scene(dev)
+    sky = Sky(constant_color=jnp.zeros(3), intensity=jnp.asarray(1.0))
+    cam = make_camera((0, 0, -4.5), (0, 0, 1), np.radians(45.0))
+    w, h, spp = 16, 12, 2
+    bsdf_sample = make_bsdf_sampler(None)
+
+    whole = jax.jit(
+        lambda: wavefront_render(
+            frame, sky, cam, w, h, spp, bsdf_sample, seed=3, lanes=64
+        )
+    )()
+    full = np.asarray(whole.color)
+
+    n = w * h
+    count = 64  # three chunks of 64
+    parts = []
+    for base in range(0, n, count):
+        part = jax.jit(
+            lambda base=base: wavefront_render(
+                frame, sky, cam, w, h, spp, bsdf_sample, seed=3, lanes=64,
+                pixel_base=jnp.uint32(base), pixel_count=count,
+            )
+        )()
+        parts.append(np.asarray(part.color))
+    chunked = np.concatenate(parts, axis=0)
+    # identical sample sets; only the film ADD ORDER differs (a pixel's
+    # spp samples can land in different iterations), so exact to fp
+    np.testing.assert_allclose(chunked, full, rtol=1e-6, atol=1e-7)

@@ -95,7 +95,7 @@ def main():
     def pool_key(o, d):
         return ray_sort_key(o, d, lo, inv_extent)
 
-    def make_run(variant, ray_tile, lanes, max_iters):
+    def make_run(variant, ray_tile, lanes, max_iters, pixel_count=None):
         ifn, ofn = make_binned_intersector(pc, ray_tile=ray_tile)
         pk = None
         if variant == "pertrace":
@@ -128,16 +128,16 @@ def main():
                 bsdf_eval=beval, bsdf_pdf=bsdf_pdf, integrator="mis",
                 seed=7, lanes=lanes, max_depth=10,
                 intersect_fn=ifn, occluded_fn=ofn, pool_key_fn=pk,
-                max_iters=max_iters,
+                max_iters=max_iters, pixel_count=pixel_count,
             )
 
         return run
 
-    def marginal(variant, ray_tile, lanes):
+    def marginal(variant, ray_tile, lanes, pixel_count=None):
         t = {}
         tr = {}
         for iters in (3, 9):
-            run = make_run(variant, ray_tile, lanes, iters)
+            run = make_run(variant, ray_tile, lanes, iters, pixel_count)
             film = run()
             jax.block_until_ready(film.color)  # compile
             reps = 2 if quick else 4
@@ -170,6 +170,9 @@ def main():
     ]
     if "occlraw" in sys.argv[2:]:
         configs = [("occlraw", 256, 1 << 16)]
+    if "chunked" in sys.argv[2:]:
+        # film-size-cliff fix: same engine, film = 1/8 of 1080p
+        configs = [("pertrace", 256, 1 << 16, width * height // 8)]
     if "big" in sys.argv[2:]:
         # measured 2026-08-17: rt<256 loses to per-program overhead; test
         # the other direction (fewer, fatter programs)
