@@ -298,101 +298,113 @@ def build_binned_from_order(
     )
 
 
-def _tile_worklists(bc, ox, oy, oz, dx, dy, dz, tmin, tmax, rt):
+def _tile_worklists(bc, ox, oy, oz, dx, dy, dz, tmin, tmax, rt, subt=1):
     """Dense XLA prepass: per-tile (group worklist, t_enter, count) plus —
     for grouped scenes — a per-(tile, cluster) need BITMASK.
 
-    Conservative interval slab test (same arithmetic as the in-kernel
-    scalar frustum the HBM kernel used, pallas_cluster_hbm.py:157-181) of
-    every ray tile's (origin box x inverse-direction box) against every
-    box, fully vectorized as [T, B] computations; a near-to-far argsort
-    of the needed groups per tile; and cluster-level need packed 32/word
-    so big scenes get cluster-granular culling from ~50 KB of SMEM."""
+    EXACT per-ray slab tests, OR-reduced over each ray tile. The earlier
+    interval-arithmetic tile test (origin box x inverse-direction box)
+    was catastrophically conservative for incoherent directions: on the
+    254k-tri contest scene, bounce-ray tiles took ALL 1,991 clusters
+    while each individual ray needed ~7, and even 8-ray tiles still took
+    1,500 (mixed direction signs make the inverse-direction interval
+    span +-inf; tools/cull_efficiency.py / exp_exact_union.py). Exact
+    per-ray slabs cut the bounce tile union 1,991 -> 820 at rt=256 for
+    ~25 flops per (ray, box) of dense VPU work — the same arithmetic the
+    kernel's in-kernel slab_need already applies per lane, so culling
+    decisions are unchanged in kind, just hoisted and made per-ray.
+    t_enter = min over the tile's rays of that ray's entry t (a valid
+    lower bound, so the kernel's near-to-far early exit stays exact);
+    per-ray tmax (shadow-ray distance clamps, dead zero-width lanes)
+    tightens the union for free."""
     n = ox.shape[0]
     t = n // rt
-
-    def tile_minmax(x):
-        xt = x.reshape(t, rt)
-        return jnp.min(xt, axis=1, keepdims=True), jnp.max(xt, axis=1, keepdims=True)
 
     def inv(d):
         tiny = jnp.where(d >= 0.0, 1e-12, -1e-12)
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12, tiny, d)
 
-    o_b = [tile_minmax(v) for v in (ox, oy, oz)]
-    i_b = [tile_minmax(inv(v)) for v in (dx, dy, dz)]
-    tmin_lo = jnp.min(tmin.reshape(t, rt), axis=1, keepdims=True)
-    tmax_hi = jnp.max(tmax.reshape(t, rt), axis=1, keepdims=True)
-    alive = tmax_hi > tmin_lo  # all-dead tiles (zero-width rays) skip all
-
-    def interval_need(boxes, n_valid):
-        """(need, t_enter) of every tile against every box in `boxes`."""
+    def exact_union_need(boxes, n_valid, gran):
+        """(need [N/gran, Bp], t_enter [N/gran, Bp]) — exact per-ray
+        slab tests reduced over spans of `gran` consecutive (sorted)
+        rays, chunked over boxes to bound the [*, gran, chunk]
+        intermediates."""
+        tt = n // gran
+        o3 = [v.reshape(tt, gran, 1) for v in (ox, oy, oz)]
+        i3 = [inv(v).reshape(tt, gran, 1) for v in (dx, dy, dz)]
+        tmin_r = tmin.reshape(tt, gran, 1)
+        tmax_r = tmax.reshape(tt, gran, 1)
+        ray_alive = tmax_r > tmin_r  # zero-width lanes join no union
         bp = boxes.shape[1]
-        t_enter = jnp.broadcast_to(tmin_lo, (t, bp))
-        t_exit = jnp.broadcast_to(tmax_hi, (t, bp))
-        # direction-free lower bound: rays are unit-speed, so reaching a
-        # box takes at least the L2 gap from the tile's origin box. For
-        # mixed-direction tiles (whose slab intervals are infinite) this
-        # is the only source of near-to-far ordering.
-        gap_sq = jnp.zeros((t, bp), jnp.float32)
-        for ax in range(3):
-            mn = boxes[ax][None, :]
-            mx = boxes[3 + ax][None, :]
-            o_lo, o_hi = o_b[ax]
-            il, ih = i_b[ax]
-            c0 = mn - o_hi
-            c1 = mn - o_lo
-            d0 = mx - o_hi
-            d1 = mx - o_lo
-            p = (c0 * il, c0 * ih, c1 * il, c1 * ih,
-                 d0 * il, d0 * ih, d1 * il, d1 * ih)
-            lo8 = jnp.minimum(
-                jnp.minimum(jnp.minimum(p[0], p[1]), jnp.minimum(p[2], p[3])),
-                jnp.minimum(jnp.minimum(p[4], p[5]), jnp.minimum(p[6], p[7])),
-            )
-            hi8 = jnp.maximum(
-                jnp.maximum(jnp.maximum(p[0], p[1]), jnp.maximum(p[2], p[3])),
-                jnp.maximum(jnp.maximum(p[4], p[5]), jnp.maximum(p[6], p[7])),
-            )
-            t_enter = jnp.maximum(t_enter, lo8)
-            t_exit = jnp.minimum(t_exit, hi8)
-            gap = jnp.maximum(jnp.maximum(c0, -d1), 0.0)  # mn-o_hi | o_lo-mx
-            gap_sq = gap_sq + gap * gap
-
-        t_enter = jnp.maximum(t_enter, jnp.sqrt(gap_sq))
-        need = (
-            (t_enter <= t_exit)
-            & (jax.lax.broadcasted_iota(jnp.int32, (t, bp), 1) < n_valid)
-            & alive
-        )
-        return need, t_enter
-
-    need, t_enter = interval_need(bc.gaabb, bc.num_groups)
-    tkey = jnp.where(need, t_enter, _BIG)
-    perm, tent = _bitonic_rows(tkey)
-    count = jnp.sum(need.astype(jnp.int32), axis=1)
+        needs, tents = [], []
+        ch = 512
+        for s in range(0, bp, ch):
+            e = min(s + ch, bp)
+            te = jnp.broadcast_to(tmin_r, (tt, gran, e - s))
+            tx = jnp.broadcast_to(tmax_r, (tt, gran, e - s))
+            for ax in range(3):
+                mn = boxes[ax][None, None, s:e]
+                mx = boxes[3 + ax][None, None, s:e]
+                t1 = (mn - o3[ax]) * i3[ax]
+                t2 = (mx - o3[ax]) * i3[ax]
+                te = jnp.maximum(te, jnp.minimum(t1, t2))
+                tx = jnp.minimum(tx, jnp.maximum(t1, t2))
+            ok = (te <= tx) & ray_alive
+            needs.append(jnp.any(ok, axis=1))
+            tents.append(jnp.min(jnp.where(ok, te, _BIG), axis=1))
+        need = jnp.concatenate(needs, axis=1) if len(needs) > 1 else needs[0]
+        tent = jnp.concatenate(tents, axis=1) if len(tents) > 1 else tents[0]
+        valid = jax.lax.broadcasted_iota(jnp.int32, (tt, bp), 1) < n_valid
+        return need & valid, tent
 
     if bc.group > 1:
-        # cluster-granular bits: bit c of word [i, c//32] = tile i needs
-        # cluster c. Replaces the kernel's [RT,1] per-cluster slab tests
-        # (~0.7 us each) with one scalar bit test.
+        # one exact pass at (SUBTILE, cluster) granularity serves both
+        # products: the need bitmask (bit c of word [(i*subt+s), c//32]
+        # = subtile s of tile i needs cluster c; one scalar bit test
+        # in-kernel vs ~0.7 us per failing slab) and the group worklist
+        # (any/min over the tile's subtiles and each group's clusters).
         ctot = bc.num_groups * bc.group
         w32 = (ctot + 31) // 32
-        need_c, _ = interval_need(bc.aabb, ctot)
-        need_c = need_c[:, : w32 * 32]
-        if need_c.shape[1] < w32 * 32:
-            need_c = jnp.pad(
-                need_c, ((0, 0), (0, w32 * 32 - need_c.shape[1]))
+        need_s, tent_s = exact_union_need(bc.aabb, ctot, rt // subt)
+        cp = need_s.shape[1]
+        need_c = jnp.any(need_s.reshape(t, subt, cp), axis=1)
+        tent_c = jnp.min(
+            jnp.where(need_s, tent_s, _BIG).reshape(t, subt, cp), axis=1
+        )
+        need_g = jnp.any(
+            need_c[:, :ctot].reshape(t, bc.num_groups, bc.group), axis=2
+        )
+        tent_g = jnp.min(
+            tent_c[:, :ctot].reshape(t, bc.num_groups, bc.group), axis=2
+        )
+        gp = bc.gaabb.shape[1]
+        if gp > bc.num_groups:
+            need_g = jnp.pad(need_g, ((0, 0), (0, gp - bc.num_groups)))
+            tent_g = jnp.pad(
+                tent_g, ((0, 0), (0, gp - bc.num_groups)),
+                constant_values=_BIG,
+            )
+        need, t_enter = need_g, tent_g
+
+        padded = need_s[:, : w32 * 32]
+        if padded.shape[1] < w32 * 32:
+            padded = jnp.pad(
+                padded, ((0, 0), (0, w32 * 32 - padded.shape[1]))
             )
         shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
         words = jnp.sum(
-            need_c.reshape(t, w32, 32).astype(jnp.uint32) << shifts,
+            padded.reshape(t * subt, w32, 32).astype(jnp.uint32) << shifts,
             axis=2,
             dtype=jnp.uint32,
         )
         bits = jax.lax.bitcast_convert_type(words, jnp.int32).reshape(-1)
     else:
+        need, t_enter = exact_union_need(bc.gaabb, bc.num_groups, rt)
         bits = jnp.zeros((8,), jnp.int32)
+
+    tkey = jnp.where(need, t_enter, _BIG)
+    perm, tent = _bitonic_rows(tkey)
+    count = jnp.sum(need.astype(jnp.int32), axis=1)
 
     # FLAT 1-D worklists: 2-D SMEM prefetch operands pad their minor dim
     # to 128 lanes (4x SMEM waste -> OOM at small ray tiles); 1-D don't
@@ -445,11 +457,19 @@ def _kernel(
     dx_ref, dy_ref, dz_ref,
     tmin_ref, tmax_ref,
     t_out, prim_out, u_out, v_out,
-    bt_ref, bp_ref, bu_ref, bv_ref,  # VMEM scratch [RT,1] best-hit state
-    buf_ref,  # VMEM [group*16, K] staging
-    sem_ref,  # DMA semaphore
-    *, group: int, any_hit: bool, vmem_rows: bool, gp: int, w32: int,
+    # *scratch: per-SUBTILE best-hit state (bt/bp/bu/bv x subt, each
+    # [RT/subt, 1] VMEM — separate refs because Mosaic rejects sublane
+    # slicing of (N, 1) refs), then DMA staging buf + semaphore
+    *scratch,
+    group: int, any_hit: bool, vmem_rows: bool, gp: int, w32: int,
+    subt: int = 1,
 ):
+    bt_refs = list(scratch[0:subt])
+    bp_refs = list(scratch[subt : 2 * subt])
+    bu_refs = list(scratch[2 * subt : 3 * subt])
+    bv_refs = list(scratch[3 * subt : 4 * subt])
+    buf_ref = scratch[4 * subt]  # VMEM [2, group*16, K] staging
+    sem_ref = scratch[4 * subt + 1]  # DMA semaphores
     i = pl.program_id(0)
     ox = ox_ref[:]  # [RT, 1]
     oy = oy_ref[:]
@@ -465,44 +485,75 @@ def _kernel(
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12, tiny, d)
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (ox.shape[0], K), 1)
+    rt_rows = ox.shape[0]
+    strows = rt_rows // subt  # rows per subtile slice
 
-    bt_ref[:] = tmax + 0.0
-    bp_ref[:] = jnp.full(ox.shape, -1, jnp.int32)
-    bu_ref[:] = jnp.zeros(ox.shape, jnp.float32)
-    bv_ref[:] = jnp.zeros(ox.shape, jnp.float32)
+    def rows_of(a, s):
+        """Subtile row slice of a whole-tile [RT, 1] VALUE (not ref).
+        Static slice — s is a Python int from an unrolled loop; subt=1
+        makes it the identity."""
+        return a if subt == 1 else a[s * strows : (s + 1) * strows]
 
-    def slab_need(box_ref, idx, best_t):
+    for s in range(subt):
+        bt_refs[s][:] = rows_of(tmax, s) + 0.0
+        bp_refs[s][:] = jnp.full((strows, 1), -1, jnp.int32)
+        bu_refs[s][:] = jnp.zeros((strows, 1), jnp.float32)
+        bv_refs[s][:] = jnp.zeros((strows, 1), jnp.float32)
+
+    def best_t_all():
+        """Tile-wide worst best-t (the near-to-far early-exit bound)."""
+        m = jnp.max(bt_refs[0][:])
+        for s in range(1, subt):
+            m = jnp.maximum(m, jnp.max(bt_refs[s][:]))
+        return m
+
+    def slab_need(box_ref, idx, s=0):
+        oxs, oys, ozs = rows_of(ox, s), rows_of(oy, s), rows_of(oz, s)
+        ixs, iys, izs = rows_of(ix, s), rows_of(iy, s), rows_of(iz, s)
+        tmins = rows_of(tmin, s)
+        tmaxs = rows_of(tmax, s)
+        best_t = bt_refs[s][:]
         mnx = box_ref[0, idx]
         mny = box_ref[1, idx]
         mnz = box_ref[2, idx]
         mxx = box_ref[3, idx]
         mxy = box_ref[4, idx]
         mxz = box_ref[5, idx]
-        t1x = (mnx - ox) * ix
-        t2x = (mxx - ox) * ix
-        t1y = (mny - oy) * iy
-        t2y = (mxy - oy) * iy
-        t1z = (mnz - oz) * iz
-        t2z = (mxz - oz) * iz
+        t1x = (mnx - oxs) * ixs
+        t2x = (mxx - oxs) * ixs
+        t1y = (mny - oys) * iys
+        t2y = (mxy - oys) * iys
+        t1z = (mnz - ozs) * izs
+        t2z = (mxz - ozs) * izs
         tlo = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.maximum(jnp.minimum(t1z, t2z), tmin),
+            jnp.maximum(jnp.minimum(t1z, t2z), tmins),
         )
         thi = jnp.minimum(
             jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.minimum(jnp.maximum(t1z, t2z), jnp.minimum(tmax, best_t)),
+            jnp.minimum(jnp.maximum(t1z, t2z), jnp.minimum(tmaxs, best_t)),
         )
         return jnp.any(tlo <= thi)
 
-    def mt_block(src_ref, b):
-        """Dense triangle test of the tile against src_ref rows
-        [b, b+16) (one K-wide cluster); ids ride in plane 12. The test
-        is the Baldwin-Weber transformed form (plane hit + two affine
-        barycentric evals, ~31 vector ops) — the per-triangle cross
-        products of Möller-Trumbore (~47 ops) are precomputed into the
-        rows at build time (_baldwin_rows_np)."""
-        best_t_j = bt_ref[:]
+    def mt_block(src_ref, b, s=0):
+        """Dense triangle test of the tile (or, for grouped scenes, one
+        subtile row slice — SUBTILE GRANULARITY is what makes big-scene
+        culling effective: exact per-64-ray unions need ~3x fewer
+        clusters than per-256-ray ones on incoherent bounce rays, see
+        _tile_worklists) against src_ref rows [b, b+16) (one K-wide
+        cluster); ids ride in plane 12. The test is the Baldwin-Weber
+        transformed form (plane hit + two affine barycentric evals, ~31
+        vector ops) — the per-triangle cross products of Möller-Trumbore
+        (~47 ops) are precomputed into the rows at build time
+        (_baldwin_rows_np)."""
+        oxs, oys, ozs = rows_of(ox, s), rows_of(oy, s), rows_of(oz, s)
+        dxs, dys, dzs = rows_of(dx, s), rows_of(dy, s), rows_of(dz, s)
+        tmins = rows_of(tmin, s)
+        k_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (oxs.shape[0], K), 1
+        )
+        bts, bps, bus, bvs = bt_refs[s], bp_refs[s], bu_refs[s], bv_refs[s]
+        best_t_j = bts[:]
         nxr = src_ref[pl.ds(b + 0, 1), :]
         nyr = src_ref[pl.ds(b + 1, 1), :]
         nzr = src_ref[pl.ds(b + 2, 1), :]
@@ -519,13 +570,13 @@ def _kernel(
             src_ref[pl.ds(b + 12, 1), :], jnp.int32
         )
 
-        nd = dx * nxr + dy * nyr + dz * nzr
-        no = ox * nxr + oy * nyr + oz * nzr
+        nd = dxs * nxr + dys * nyr + dzs * nzr
+        no = oxs * nxr + oys * nyr + ozs * nzr
         inv_nd = jnp.where(jnp.abs(nd) > 1e-12, 1.0 / nd, 0.0)
         tt = (dplr - no) * inv_nd
-        px = ox + tt * dx
-        py = oy + tt * dy
-        pz = oz + tt * dz
+        px = oxs + tt * dxs
+        py = oys + tt * dys
+        pz = ozs + tt * dzs
         uu = h1r + g1xr * px + g1yr * py + g1zr * pz
         vv = h2r + g2xr * px + g2yr * py + g2zr * pz
         ok = (
@@ -533,7 +584,7 @@ def _kernel(
             & (uu >= 0.0)
             & (vv >= 0.0)
             & (uu + vv <= 1.0)
-            & (tt > tmin)
+            & (tt > tmins)
             & (tt < best_t_j)
             & (ordr >= 0)
         )
@@ -543,8 +594,8 @@ def _kernel(
             # hit lane's best-t to tmin so the tile-wide early exit
             # tightens as lanes get occluded
             hit_any = jnp.any(ok, axis=1, keepdims=True)
-            bt_ref[:] = jnp.where(hit_any, tmin, best_t_j)
-            bp_ref[:] = jnp.where(hit_any, 1, bp_ref[:])
+            bts[:] = jnp.where(hit_any, tmins, best_t_j)
+            bps[:] = jnp.where(hit_any, 1, bps[:])
             return
         tt = jnp.where(ok, tt, _BIG)
         bt_k = jnp.min(tt, axis=1, keepdims=True)
@@ -554,10 +605,10 @@ def _kernel(
         prim_k = jnp.sum(jnp.where(pick, ordr, 0), axis=1, keepdims=True)
         u_k = jnp.sum(jnp.where(pick, uu, 0.0), axis=1, keepdims=True)
         v_k = jnp.sum(jnp.where(pick, vv, 0.0), axis=1, keepdims=True)
-        bt_ref[:] = jnp.where(hit_any, bt_k, best_t_j)
-        bp_ref[:] = jnp.where(hit_any, prim_k, bp_ref[:])
-        bu_ref[:] = jnp.where(hit_any, u_k, bu_ref[:])
-        bv_ref[:] = jnp.where(hit_any, v_k, bv_ref[:])
+        bts[:] = jnp.where(hit_any, bt_k, best_t_j)
+        bps[:] = jnp.where(hit_any, prim_k, bps[:])
+        bus[:] = jnp.where(hit_any, u_k, bus[:])
+        bvs[:] = jnp.where(hit_any, v_k, bvs[:])
 
     n_work = count_ref[i]
 
@@ -612,34 +663,42 @@ def _kernel(
                         gid1 = list_ref[i * gp + li1]
                         mt_block(rows_ref, gid1 * 16)
         else:
-            # cluster-need bits from the dense prepass gate the [RT,1]
-            # slab (one scalar bit test vs ~0.7 us for a failing slab);
-            # the slab still runs for passers because it culls against
-            # the CURRENT best-t, which shrinks during the walk
+            # cluster-need bits from the dense prepass gate the slab
+            # (one scalar bit test vs ~0.7 us for a failing slab); the
+            # slab still runs for passers because it culls against the
+            # CURRENT best-t, which shrinks during the walk. Bits are
+            # per SUBTILE of RT/subt rays: incoherent bounce tiles need
+            # ~3x fewer clusters per 64-ray union than per 256
+            # (tools/exp_exact_union.py), so each subtile slice skips
+            # most of the tile-union worklist.
             for j in range(group):
                 cid = gid * group + j
-                word = bits_ref[i * w32 + (cid >> 5)]
-                bit = (word >> (cid & 31)) & 1
+                for s in range(subt):
+                    word = bits_ref[(i * subt + s) * w32 + (cid >> 5)]
+                    bit = (word >> (cid & 31)) & 1
 
-                @pl.when(bit != 0)
-                def _(j=j, cid=cid):
-                    need = slab_need(aabb_ref, cid, bt_ref[:])
+                    @pl.when(bit != 0)
+                    def _(j=j, cid=cid, s=s):
+                        need = slab_need(aabb_ref, cid, s)
 
-                    @pl.when(need)
-                    def _(j=j):
-                        mt_block(src_ref, base + j * 16)
+                        @pl.when(need)
+                        def _(j=j, s=s):
+                            mt_block(src_ref, base + j * 16, s)
 
-        btmax2 = jnp.max(bt_ref[:])
+        btmax2 = best_t_all()
         if any_hit:
             # all lanes occluded -> nothing left to refine
-            btmax2 = jnp.where(jnp.all(bp_ref[:] >= 0), -_BIG, btmax2)
+            occl = jnp.all(bp_refs[0][:] >= 0)
+            for s in range(1, subt):
+                occl = occl & jnp.all(bp_refs[s][:] >= 0)
+            btmax2 = jnp.where(occl, -_BIG, btmax2)
         li2 = li + (16 if (group == 1 and vmem_rows) else 1)
         tnext2 = tent_ref[i * gp + jnp.minimum(li2, gp - 1)]
         return li2, tnext2, btmax2, 1 - slot
 
     t0 = tent_ref[i * gp]
     li_f, _, _, slot_f = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, jnp.max(bt_ref[:]), jnp.int32(0))
+        cond, body, (jnp.int32(0), t0, best_t_all(), jnp.int32(0))
     )
     if not vmem_rows:
         # drain the prefetch issued for the entry the early exit skipped
@@ -647,10 +706,14 @@ def _kernel(
         def _():
             _dma(li_f, slot_f).wait()
 
-    t_out[:] = bt_ref[:]
-    prim_out[:] = bp_ref[:]
-    u_out[:] = bu_ref[:]
-    v_out[:] = bv_ref[:]
+    def cat(refs):
+        vals = [r_[:] for r_ in refs]
+        return vals[0] if subt == 1 else jnp.concatenate(vals, axis=0)
+
+    t_out[:] = cat(bt_refs)
+    prim_out[:] = cat(bp_refs)
+    u_out[:] = cat(bu_refs)
+    v_out[:] = cat(bv_refs)
 
 
 # whole cluster sets at or under this size sit in VMEM for the kernel's
@@ -659,15 +722,22 @@ VMEM_ROWS_BUDGET = 4 << 20
 
 
 @functools.partial(
-    jax.jit, static_argnames=("any_hit", "interpret", "ray_tile")
+    jax.jit,
+    static_argnames=("any_hit", "interpret", "ray_tile", "subtiles"),
 )
 def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
                      any_hit: bool = False, interpret: bool = False,
-                     ray_tile: int = RAY_TILE):
+                     ray_tile: int = RAY_TILE, subtiles: int = 0):
     """Same contract as accel.bruteforce.intersect_bruteforce, with one
     extra requirement: ray directions must be UNIT LENGTH (the prepass's
-    direction-free t_enter bound and the scene-exit tmax clamp measure t
-    in Euclidean distance). All in-repo callers trace normalized rays."""
+    t_enter ordering and the scene-exit tmax clamp measure t in
+    Euclidean distance). All in-repo callers trace normalized rays.
+
+    `subtiles` (0 = auto): cluster-need bits per RAY_TILE/subtiles-ray
+    subtile for grouped (big) scenes — exact 64-ray unions need ~3x
+    fewer clusters than 256-ray ones on incoherent bounce rays, so each
+    subtile slice skips most MT blocks. SMEM cost scales linearly
+    (1 MB budget; 4 subtiles at 2k clusters ~ 250 KB)."""
     RAY_TILE = ray_tile
     r = ray_o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
@@ -691,10 +761,17 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
     rp = r + pad
     grid = rp // RAY_TILE
 
+    subt = subtiles
+    if subt == 0:
+        subt = 4 if (bc.group > 1 and RAY_TILE % 32 == 0) else 1
+    if bc.group == 1:
+        subt = 1  # bits (and thus subtiles) only exist for grouped scenes
+    assert RAY_TILE % (subt * 8) == 0, "subtile rows must stay 8-aligned"
+
     ox, oy, oz = ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]
     dx, dy, dz = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
     worklist, tent, count, bits = _tile_worklists(
-        bc, ox, oy, oz, dx, dy, dz, tmin, tmax, RAY_TILE
+        bc, ox, oy, oz, dx, dy, dz, tmin, tmax, RAY_TILE, subt
     )
 
     def cols(x):
@@ -710,7 +787,7 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
     ctot = bc.num_groups * bc.group
     kernel = functools.partial(
         _kernel, group=bc.group, any_hit=any_hit, vmem_rows=vmem_rows,
-        gp=int(bc.gaabb.shape[1]), w32=(ctot + 31) // 32,
+        gp=int(bc.gaabb.shape[1]), w32=(ctot + 31) // 32, subt=subt,
     )
     out_shape = [
         jax.ShapeDtypeStruct((rp, 1), jnp.float32),
@@ -727,18 +804,21 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
         in_specs=[rows_spec, pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
-        scratch_shapes=[
-            pltpu.VMEM((RAY_TILE, 1), jnp.float32),
-            pltpu.VMEM((RAY_TILE, 1), jnp.int32),
-            pltpu.VMEM((RAY_TILE, 1), jnp.float32),
-            pltpu.VMEM((RAY_TILE, 1), jnp.float32),
-            # staging + semaphores exist (unused) in vmem_rows mode too:
-            # keeps the kernel signature static
-            pltpu.VMEM(
-                (2, 16 if vmem_rows else bc.group * 16, K), jnp.float32
-            ),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            # per-subtile best-hit state (bt x subt, bp x subt, ...)
+            [pltpu.VMEM((RAY_TILE // subt, 1), jnp.float32)] * subt
+            + [pltpu.VMEM((RAY_TILE // subt, 1), jnp.int32)] * subt
+            + [pltpu.VMEM((RAY_TILE // subt, 1), jnp.float32)] * subt
+            + [pltpu.VMEM((RAY_TILE // subt, 1), jnp.float32)] * subt
+            + [
+                # staging + semaphores exist (unused) in vmem_rows mode
+                # too: keeps the kernel signature static
+                pltpu.VMEM(
+                    (2, 16 if vmem_rows else bc.group * 16, K), jnp.float32
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        ),
     )
     t, prim, u, v = pl.pallas_call(
         kernel,
@@ -775,19 +855,20 @@ def _scene_exit_t(bc: BinnedClusters, ray_o, ray_d, tmin):
     )
 
 
-def make_binned_intersector(bc: BinnedClusters, ray_tile: int = RAY_TILE):
+def make_binned_intersector(bc: BinnedClusters, ray_tile: int = RAY_TILE,
+                            subtiles: int = 0):
     def intersect_fn(tri_verts, ray_o, ray_d, tmin, tmax=TMAX_RAY):
         return intersect_binned(
             bc, ray_o, ray_d, tmin, tmax,
             interpret=jax.default_backend() == "cpu",
-            ray_tile=ray_tile,
+            ray_tile=ray_tile, subtiles=subtiles,
         )
 
     def occluded_fn(tri_verts, ray_o, ray_d, tmin, tmax):
         _, _, _, _, hit = intersect_binned(
             bc, ray_o, ray_d, tmin, tmax, any_hit=True,
             interpret=jax.default_backend() == "cpu",
-            ray_tile=ray_tile,
+            ray_tile=ray_tile, subtiles=subtiles,
         )
         return hit
 

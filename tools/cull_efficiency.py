@@ -154,13 +154,20 @@ def main():
     d = rng.normal(size=(n, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
 
-    r1 = tile_stats(tv, cam_o.astype(np.float32), cam_d.astype(np.float32),
-                    label="camera")
-    r2 = tile_stats(tv, p.astype(np.float32), d, label="bounce")
-    print(
-        f"\nheadroom: camera {r1[0] / max(r1[1], 1):.1f}x  "
-        f"bounce {r2[0] / max(r2[1], 1):.1f}x vs per-ray-ideal clustering"
+    rts = (
+        [int(x) for x in sys.argv[sys.argv.index("--rt") + 1].split(",")]
+        if "--rt" in sys.argv
+        else [256]
     )
+    for rt in rts:
+        r1 = tile_stats(tv, cam_o.astype(np.float32), cam_d.astype(np.float32),
+                        rt=rt, label=f"camera rt={rt}")
+        r2 = tile_stats(tv, p.astype(np.float32), d, rt=rt,
+                        label=f"bounce rt={rt}")
+        print(
+            f"headroom @rt={rt}: camera {r1[0] / max(r1[1], 1):.1f}x  "
+            f"bounce {r2[0] / max(r2[1], 1):.1f}x vs per-ray-ideal clustering\n"
+        )
 
 
 if __name__ == "__main__":

@@ -95,8 +95,11 @@ def main():
     def pool_key(o, d):
         return ray_sort_key(o, d, lo, inv_extent)
 
-    def make_run(variant, ray_tile, lanes, max_iters, pixel_count=None):
-        ifn, ofn = make_binned_intersector(pc, ray_tile=ray_tile)
+    def make_run(variant, ray_tile, lanes, max_iters, pixel_count=None,
+                 subtiles=0):
+        ifn, ofn = make_binned_intersector(
+            pc, ray_tile=ray_tile, subtiles=subtiles
+        )
         pk = None
         if variant == "pertrace":
             ifn, ofn = make_bitonic_sorted_intersector(
@@ -133,11 +136,18 @@ def main():
 
         return run
 
-    def marginal(variant, ray_tile, lanes, pixel_count=None):
+    def marginal(variant, ray_tile, lanes, pixel_count=None, subtiles=0):
         t = {}
         tr = {}
-        for iters in (3, 9):
-            run = make_run(variant, ray_tile, lanes, iters, pixel_count)
+        # "steady": marginal cost of LATE iterations (pool dominated by
+        # incoherent bounce rays + refilled mixtures) — the early 3->9
+        # window is all-coherent camera rays and understated the contest
+        # scene 10x (15 ms/iter early vs ~149 ms/iter measured over a
+        # full 16-spp render, BASELINE round-3)
+        spans = (60, 120) if "steady" in sys.argv[2:] else (3, 9)
+        for iters in spans:
+            run = make_run(variant, ray_tile, lanes, iters, pixel_count,
+                           subtiles)
             film = run()
             jax.block_until_ready(film.color)  # compile
             reps = 2 if quick else 4
@@ -147,12 +157,13 @@ def main():
             jax.block_until_ready(film.color)
             t[iters] = (time.perf_counter() - t0) / reps
             tr[iters] = float(film.n_traces)
-        iter_ms = (t[9] - t[3]) / 6 * 1e3
+        lo_i, hi_i = spans
+        iter_ms = (t[hi_i] - t[lo_i]) / (hi_i - lo_i) * 1e3
         # traces per marginal iteration -> honest Mrays/s at this cost
-        tr_per_iter = (tr[9] - tr[3]) / 6
+        tr_per_iter = (tr[hi_i] - tr[lo_i]) / (hi_i - lo_i)
         mrays = tr_per_iter / (iter_ms * 1e-3) / 1e6 if iter_ms > 0 else 0
         print(
-            f"{variant:9s} rt={ray_tile:4d} lanes={lanes >> 10:4d}k : "
+            f"{variant:9s} rt={ray_tile:4d} st={subtiles} lanes={lanes >> 10:4d}k : "
             f"{iter_ms:7.2f} ms/iter  {tr_per_iter/1e3:7.0f} ktraces/iter "
             f"-> {mrays:6.2f} Mrays/s",
             flush=True,
@@ -170,6 +181,22 @@ def main():
     ]
     if "occlraw" in sys.argv[2:]:
         configs = [("occlraw", 256, 1 << 16)]
+    if "subtsweep" in sys.argv[2:]:
+        # subtile-granular cluster bits at fixed rt=256 (SMEM-bounded:
+        # 8 subtiles ~ 500 KB bits at 2k clusters)
+        configs = [
+            ("pertrace", 256, 1 << 16, None, 2),
+            ("pertrace", 256, 1 << 16, None, 8),
+        ]
+    if "rtsweep" in sys.argv[2:]:
+        # culling quality vs program overhead, post-exact-union prepass:
+        # smaller tiles now BUY something at contest scale (exact 8-ray
+        # union needs 46 clusters vs 820 at 256; tools/exp_exact_union)
+        configs = [
+            ("pertrace", 256, 1 << 16),
+            ("pertrace", 128, 1 << 16),
+            ("pertrace", 64, 1 << 16),
+        ]
     if "chunked" in sys.argv[2:]:
         # film-size-cliff fix: same engine, film = 1/8 of 1080p
         configs = [("pertrace", 256, 1 << 16, width * height // 8)]
