@@ -22,8 +22,8 @@ box culling into one dense XLA prepass that runs at full vector rate:
 
 Group granularity adapts to scene size: one K=128-triangle cluster per
 group for small scenes (finest culling), SC clusters per group for large
-ones (keeps the worklist SMEM-sized; per-cluster slab tests then run
-in-kernel as before).
+ones (keeps the worklist SMEM-sized; per-(subtile, cluster) need bits
+from the same exact prepass then gate the in-kernel MT blocks).
 
 Reference counterpart: OptiX GAS traversal (hardware BVH). This is the
 TPU-native replacement: sorting + dense culling instead of per-ray MIMD
@@ -357,19 +357,23 @@ def _tile_worklists(bc, ox, oy, oz, dx, dy, dz, tmin, tmax, rt, subt=1):
         valid = jax.lax.broadcasted_iota(jnp.int32, (tt, bp), 1) < n_valid
         return need & valid, tent
 
-    if bc.group > 1:
+    if bc.group > 1 or subt > 1:
         # one exact pass at (SUBTILE, cluster) granularity serves both
-        # products: the need bitmask (bit c of word [(i*subt+s), c//32]
-        # = subtile s of tile i needs cluster c; one scalar bit test
-        # in-kernel vs ~0.7 us per failing slab) and the group worklist
-        # (any/min over the tile's subtiles and each group's clusters).
+        # products: a NIBBLE-packed need mask (the subt bits of cluster
+        # cid live together in word [i*nw + cid>>log2(32/subt)], so the
+        # kernel reads ONE SMEM word per cluster and a single nib==0
+        # test skips all subtiles of a dead cluster) and the group
+        # worklist (any/min over the tile's subtiles and each group's
+        # clusters).
         ctot = bc.num_groups * bc.group
-        w32 = (ctot + 31) // 32
+        fpw = 32 // subt  # nibble fields per 32-bit word
+        nw = (ctot + fpw - 1) // fpw  # words per tile
         need_s, tent_s = exact_union_need(bc.aabb, ctot, rt // subt)
         cp = need_s.shape[1]
-        need_c = jnp.any(need_s.reshape(t, subt, cp), axis=1)
+        need_s = need_s.reshape(t, subt, cp)
+        need_c = jnp.any(need_s, axis=1)
         tent_c = jnp.min(
-            jnp.where(need_s, tent_s, _BIG).reshape(t, subt, cp), axis=1
+            jnp.where(need_s, tent_s.reshape(t, subt, cp), _BIG), axis=1
         )
         need_g = jnp.any(
             need_c[:, :ctot].reshape(t, bc.num_groups, bc.group), axis=2
@@ -386,16 +390,20 @@ def _tile_worklists(bc, ox, oy, oz, dx, dy, dz, tmin, tmax, rt, subt=1):
             )
         need, t_enter = need_g, tent_g
 
-        padded = need_s[:, : w32 * 32]
-        if padded.shape[1] < w32 * 32:
+        padded = need_s[:, :, :ctot]
+        if ctot < nw * fpw:
             padded = jnp.pad(
-                padded, ((0, 0), (0, w32 * 32 - padded.shape[1]))
+                padded, ((0, 0), (0, 0), (0, nw * fpw - ctot))
             )
-        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        # [t, subt, nw*fpw] -> [t, nw, fpw, subt]; field shift =
+        # subt*(cid % fpw) + s
+        arr = padded.reshape(t, subt, nw, fpw).transpose(0, 2, 3, 1)
+        shifts = (
+            subt * jnp.arange(fpw, dtype=jnp.uint32)[None, None, :, None]
+            + jnp.arange(subt, dtype=jnp.uint32)[None, None, None, :]
+        )
         words = jnp.sum(
-            padded.reshape(t * subt, w32, 32).astype(jnp.uint32) << shifts,
-            axis=2,
-            dtype=jnp.uint32,
+            arr.astype(jnp.uint32) << shifts, axis=(2, 3), dtype=jnp.uint32
         )
         bits = jax.lax.bitcast_convert_type(words, jnp.int32).reshape(-1)
     else:
@@ -450,9 +458,8 @@ def _kernel(
     list_ref,  # SMEM prefetch [T*Gp] i32 (flat; see _tile_worklists)
     tent_ref,  # SMEM prefetch [T*Gp] f32
     count_ref,  # SMEM prefetch [T] i32
-    bits_ref,  # SMEM prefetch [T*W32] i32 cluster-need bitmask (group > 1)
+    bits_ref,  # SMEM prefetch [T*NW] i32 nibble-packed cluster-need mask
     rows_ref,  # ANY (HBM) [Ctot*16, K]
-    aabb_ref,  # SMEM [8, Cp] per-cluster boxes (slab culling, group > 1)
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
     tmin_ref, tmax_ref,
@@ -461,9 +468,12 @@ def _kernel(
     # [RT/subt, 1] VMEM — separate refs because Mosaic rejects sublane
     # slicing of (N, 1) refs), then DMA staging buf + semaphore
     *scratch,
-    group: int, any_hit: bool, vmem_rows: bool, gp: int, w32: int,
-    subt: int = 1,
+    group: int, any_hit: bool, vmem_rows: bool, gp: int, nw: int,
+    subt: int = 1, ablate: int = 0,
 ):
+    # `ablate` (experiments only, tools/exp_kernel_split.py): bit 1 skips
+    # the MT blocks (walk+gating cost alone), bit 4 ignores the prepass
+    # cluster bits.
     bt_refs = list(scratch[0:subt])
     bp_refs = list(scratch[subt : 2 * subt])
     bu_refs = list(scratch[2 * subt : 3 * subt])
@@ -480,11 +490,6 @@ def _kernel(
     tmin = tmin_ref[:]
     tmax = tmax_ref[:]
 
-    def inv(d):
-        tiny = jnp.where(d >= 0.0, 1e-12, -1e-12)
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-12, tiny, d)
-
-    ix, iy, iz = inv(dx), inv(dy), inv(dz)
     rt_rows = ox.shape[0]
     strows = rt_rows // subt  # rows per subtile slice
 
@@ -506,34 +511,6 @@ def _kernel(
         for s in range(1, subt):
             m = jnp.maximum(m, jnp.max(bt_refs[s][:]))
         return m
-
-    def slab_need(box_ref, idx, s=0):
-        oxs, oys, ozs = rows_of(ox, s), rows_of(oy, s), rows_of(oz, s)
-        ixs, iys, izs = rows_of(ix, s), rows_of(iy, s), rows_of(iz, s)
-        tmins = rows_of(tmin, s)
-        tmaxs = rows_of(tmax, s)
-        best_t = bt_refs[s][:]
-        mnx = box_ref[0, idx]
-        mny = box_ref[1, idx]
-        mnz = box_ref[2, idx]
-        mxx = box_ref[3, idx]
-        mxy = box_ref[4, idx]
-        mxz = box_ref[5, idx]
-        t1x = (mnx - oxs) * ixs
-        t2x = (mxx - oxs) * ixs
-        t1y = (mny - oys) * iys
-        t2y = (mxy - oys) * iys
-        t1z = (mnz - ozs) * izs
-        t2z = (mxz - ozs) * izs
-        tlo = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.maximum(jnp.minimum(t1z, t2z), tmins),
-        )
-        thi = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.minimum(jnp.maximum(t1z, t2z), jnp.minimum(tmaxs, best_t)),
-        )
-        return jnp.any(tlo <= thi)
 
     def mt_block(src_ref, b, s=0):
         """Dense triangle test of the tile (or, for grouped scenes, one
@@ -647,7 +624,7 @@ def _kernel(
 
             src_ref, base = buf_ref.at[slot], 0
 
-        if group == 1:
+        if group == 1 and subt == 1:
             # the prepass already slab-tested this cluster for the tile
             mt_block(src_ref, base)
             if vmem_rows:
@@ -663,27 +640,51 @@ def _kernel(
                         gid1 = list_ref[i * gp + li1]
                         mt_block(rows_ref, gid1 * 16)
         else:
-            # cluster-need bits from the dense prepass gate the slab
-            # (one scalar bit test vs ~0.7 us for a failing slab); the
-            # slab still runs for passers because it culls against the
-            # CURRENT best-t, which shrinks during the walk. Bits are
-            # per SUBTILE of RT/subt rays: incoherent bounce tiles need
-            # ~3x fewer clusters per 64-ray union than per 256
-            # (tools/exp_exact_union.py), so each subtile slice skips
-            # most of the tile-union worklist.
+            # nibble-packed cluster-need bits from the dense prepass:
+            # ONE SMEM word read per cluster; nib==0 (cluster needed by
+            # no subtile) skips everything. Bits are per SUBTILE of
+            # RT/subt rays: incoherent bounce tiles need ~3x fewer
+            # clusters per 64-ray union than per 256
+            # (tools/exp_exact_union.py). A per-subtile best-t gate
+            # (tnext vs that subtile's worst best-t, refreshed each
+            # entry) lets early-resolving subtiles stop paying for
+            # far clusters the static bits can't rule out. (An
+            # in-kernel per-subtile slab re-test measured NET NEGATIVE
+            # at contest scale — 63.9 vs 67.1 ms — and was removed;
+            # tools/exp_kernel_split.py.)
+            fshift = subt.bit_length() - 1  # log2(subt); subt is pow2
+            fmask = (32 >> fshift) - 1  # fpw - 1
+            btm = [jnp.max(bt_refs[s][:]) for s in range(subt)]
+
+            def nib_gate(cid, src, b, tn):
+                word = bits_ref[i * nw + (cid >> (5 - fshift))]
+                nib = (word >> (subt * (cid & fmask))) & ((1 << subt) - 1)
+                if ablate & 4:
+                    nib = jnp.int32((1 << subt) - 1)
+
+                @pl.when(nib != 0)
+                def _(nib=nib):
+                    for s in range(subt):
+                        live = (((nib >> s) & 1) != 0) & (tn <= btm[s])
+
+                        @pl.when(live)
+                        def _(s=s):
+                            if not (ablate & 1):
+                                mt_block(src, b, s)
+
             for j in range(group):
-                cid = gid * group + j
-                for s in range(subt):
-                    word = bits_ref[(i * subt + s) * w32 + (cid >> 5)]
-                    bit = (word >> (cid & 31)) & 1
+                nib_gate(gid * group + j, src_ref, base + j * 16, tnext)
+            if group == 1 and vmem_rows:
+                # small-scene nibble path keeps the 16-wide unroll (the
+                # while-loop's scalar bookkeeping is a measurable slice)
+                for k_un in range(1, 16):
+                    li1 = li + k_un
+                    t1 = tent_ref[i * gp + jnp.minimum(li1, gp - 1)]
 
-                    @pl.when(bit != 0)
-                    def _(j=j, cid=cid, s=s):
-                        need = slab_need(aabb_ref, cid, s)
-
-                        @pl.when(need)
-                        def _(j=j, s=s):
-                            mt_block(src_ref, base + j * 16, s)
+                    @pl.when((li1 < n_work) & (t1 <= btmax))
+                    def _(li1=li1, t1=t1):
+                        gid1 = list_ref[i * gp + li1]
+                        nib_gate(gid1, rows_ref, gid1 * 16, t1)
 
         btmax2 = best_t_all()
         if any_hit:
@@ -723,21 +724,23 @@ VMEM_ROWS_BUDGET = 4 << 20
 
 @functools.partial(
     jax.jit,
-    static_argnames=("any_hit", "interpret", "ray_tile", "subtiles"),
+    static_argnames=("any_hit", "interpret", "ray_tile", "subtiles", "ablate"),
 )
 def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
                      any_hit: bool = False, interpret: bool = False,
-                     ray_tile: int = RAY_TILE, subtiles: int = 0):
+                     ray_tile: int = RAY_TILE, subtiles: int = 0,
+                     ablate: int = 0):
     """Same contract as accel.bruteforce.intersect_bruteforce, with one
     extra requirement: ray directions must be UNIT LENGTH (the prepass's
     t_enter ordering and the scene-exit tmax clamp measure t in
     Euclidean distance). All in-repo callers trace normalized rays.
 
     `subtiles` (0 = auto): cluster-need bits per RAY_TILE/subtiles-ray
-    subtile for grouped (big) scenes — exact 64-ray unions need ~3x
-    fewer clusters than 256-ray ones on incoherent bounce rays, so each
-    subtile slice skips most MT blocks. SMEM cost scales linearly
-    (1 MB budget; 4 subtiles at 2k clusters ~ 250 KB)."""
+    subtile — exact 64-ray unions need ~3x fewer clusters than 256-ray
+    ones on incoherent bounce rays, so each subtile slice skips most MT
+    blocks (small group=1 scenes included: each cluster on the tile
+    worklist MTs only the subtiles whose union needs it). SMEM cost
+    scales linearly (1 MB budget; 4 subtiles at 2k clusters ~ 250 KB)."""
     RAY_TILE = ray_tile
     r = ray_o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
@@ -763,10 +766,17 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
 
     subt = subtiles
     if subt == 0:
-        subt = 4 if (bc.group > 1 and RAY_TILE % 32 == 0) else 1
-    if bc.group == 1:
-        subt = 1  # bits (and thus subtiles) only exist for grouped scenes
+        subt = 4 if RAY_TILE % 32 == 0 else 1
+        # keep the per-(tile, cluster) bits operand inside the SMEM
+        # budget at very large cluster counts (1M tris @ subt=4 would
+        # be ~1 MB for a 64k-ray pool): halve granularity until it fits
+        nct = bc.num_groups * bc.group
+        while subt > 1 and (rp // RAY_TILE) * (
+            (nct + (32 // subt) - 1) // (32 // subt)
+        ) * 4 > (1 << 20):
+            subt //= 2
     assert RAY_TILE % (subt * 8) == 0, "subtile rows must stay 8-aligned"
+    assert subt & (subt - 1) == 0 and subt <= 32, "subt must be pow2 <= 32"
 
     ox, oy, oz = ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]
     dx, dy, dz = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
@@ -785,9 +795,11 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
 
     vmem_rows = bc.rows.size * 4 <= VMEM_ROWS_BUDGET
     ctot = bc.num_groups * bc.group
+    fpw = 32 // subt
     kernel = functools.partial(
         _kernel, group=bc.group, any_hit=any_hit, vmem_rows=vmem_rows,
-        gp=int(bc.gaabb.shape[1]), w32=(ctot + 31) // 32, subt=subt,
+        gp=int(bc.gaabb.shape[1]), nw=(ctot + fpw - 1) // fpw, subt=subt,
+        ablate=ablate,
     )
     out_shape = [
         jax.ShapeDtypeStruct((rp, 1), jnp.float32),
@@ -801,8 +813,7 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(grid,),
-        in_specs=[rows_spec, pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [ray_spec] * 8,
+        in_specs=[rows_spec] + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
         scratch_shapes=(
             # per-subtile best-hit state (bt x subt, bp x subt, ...)
@@ -827,7 +838,7 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
         interpret=interpret,
     )(
         worklist, tent, count, bits,
-        bc.rows, bc.aabb,
+        bc.rows,
         cols(ox), cols(oy), cols(oz),
         cols(dx), cols(dy), cols(dz),
         cols(tmin), cols(tmax),

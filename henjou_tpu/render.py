@@ -10,7 +10,14 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
+
+# Persistent compile cache: the axon TPU platform recompiles everything
+# per process otherwise (minutes of wall per run). Must be set before
+# the first jax import in this process.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def main(argv=None):

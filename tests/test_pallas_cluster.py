@@ -244,3 +244,45 @@ def test_binned_dma_double_buffer_interpret():
         np.asarray(t_p)[h_b], np.asarray(t_b)[h_b], rtol=1e-4
     )
     assert (np.asarray(p_p)[h_b] == np.asarray(p_b)[h_b]).all()
+
+
+@pytest.mark.slow
+def test_binned_subtile_sweep_interpret():
+    """Subtile-need granularities 1/2/8 must be exact at both group=1
+    (small-scene nibble path, new in round 3) and grouped scenes, in
+    closest-hit and any-hit modes."""
+    import henjou_tpu.accel.pallas_binned as pb
+
+    rng = np.random.default_rng(11)
+    tris = jnp.asarray(
+        (rng.random((900, 3, 3)) * 2 - 1).astype(np.float32)
+        * np.array([3, 1, 3], np.float32)
+    )
+    n = 512
+    o = jnp.asarray((rng.random((n, 3)) * 2 - 1).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t_b, p_b, _, _, h_b = intersect_bruteforce(tris, o, d, 1e-3)
+    h_np = np.asarray(h_b)
+
+    old_fine = pb.MAX_FINE_CLUSTERS
+    for fine in (old_fine, 2):  # group=1 then group=SC
+        pb.MAX_FINE_CLUSTERS = fine
+        try:
+            bc = pb.pack_binned_np(np.asarray(tris))
+        finally:
+            pb.MAX_FINE_CLUSTERS = old_fine
+        for st in (1, 2, 8):
+            t_p, p_p, _, _, h_p = pb.intersect_binned(
+                bc, o, d, 1e-3, interpret=True, subtiles=st
+            )
+            assert (h_np == np.asarray(h_p)).all(), (bc.group, st)
+            np.testing.assert_allclose(
+                np.asarray(t_p)[h_np], np.asarray(t_b)[h_np],
+                rtol=1e-4, atol=1e-5,
+            )
+            _, _, _, _, h_o = pb.intersect_binned(
+                bc, o, d, 1e-3, interpret=True, subtiles=st, any_hit=True
+            )
+            assert (h_np == np.asarray(h_o)).all(), (bc.group, st)
