@@ -103,6 +103,71 @@ def denoise_temporal(
     return spatial * (1.0 - w_hist) + prev_output * w_hist
 
 
+def _bilinear_sample(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """Bilinear sample [H,W,C] at continuous pixel coords px[H,W],
+    py[H,W] (coords are pixel CENTERS: sample point (0.5,0.5) is exactly
+    texel (0,0)). Returns ([H,W,C], in_bounds[H,W,1])."""
+    h, w = img.shape[0], img.shape[1]
+    x = px - 0.5
+    y = py - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    inb = (px >= 0.0) & (px <= w) & (py >= 0.0) & (py <= h)
+    x0c = jnp.clip(x0, 0, w - 1)
+    y0c = jnp.clip(y0, 0, h - 1)
+    x1c = jnp.clip(x0 + 1, 0, w - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    a = img[y0c, x0c]
+    b = img[y0c, x1c]
+    c = img[y1c, x0c]
+    d = img[y1c, x1c]
+    out = (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
+    return out, inb[..., None]
+
+
+@jax.jit
+def denoise_temporal_reprojected(
+    color: jnp.ndarray,
+    albedo: jnp.ndarray,
+    normal: jnp.ndarray,
+    prev_output: jnp.ndarray,
+    prev_albedo: jnp.ndarray,
+    prev_normal: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    reproject_valid: jnp.ndarray,
+    alpha: float = 0.8,
+    sigma_albedo: float = 0.1,
+    sigma_normal: float = 0.2,
+) -> jnp.ndarray:
+    """TEMPORAL denoise with motion-compensated history (the flow-vector
+    analogue of OPTIX_DENOISER_MODEL_KIND_TEMPORAL's flowTrailingFrame
+    input, denoiser.h:35-40): the caller projects each pixel's first-hit
+    world position into the PREVIOUS frame's camera (camera.py
+    project_to_pixel) and passes the continuous history coords px/py
+    [H,W] plus reproject_valid [H,W] (hit + in front of the previous
+    camera). History is warped bilinearly, then blended where the warped
+    albedo/normal guides agree with the current frame — disocclusions and
+    off-screen regions fall back to the spatial filter, so a panning or
+    orbiting camera does not ghost the way the unwarped blend does."""
+    spatial = denoise_atrous(color, albedo, normal)
+    hist, inb = _bilinear_sample(prev_output, px, py)
+    pa, _ = _bilinear_sample(prev_albedo, px, py)
+    pn, _ = _bilinear_sample(prev_normal, px, py)
+    da = jnp.sum((albedo - pa) ** 2, axis=-1, keepdims=True)
+    dn = jnp.sum((normal - pn) ** 2, axis=-1, keepdims=True)
+    ok = inb * reproject_valid[..., None].astype(color.dtype)
+    w_hist = (
+        alpha
+        * ok
+        * jnp.exp(-da / (sigma_albedo * sigma_albedo))
+        * jnp.exp(-dn / (sigma_normal * sigma_normal))
+    )
+    return spatial * (1.0 - w_hist) + hist * w_hist
+
+
 @jax.jit
 def upscale2x(img: jnp.ndarray) -> jnp.ndarray:
     """Bilinear 2x upscale [H,W,3] -> [2H,2W,3] (UPSCALE2X analogue,

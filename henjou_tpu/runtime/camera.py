@@ -60,6 +60,48 @@ def divmod_u24(i: jnp.ndarray, n: int):
     return q.astype(i.dtype), r.astype(i.dtype)
 
 
+def camera_rays_centers(cam: Camera, width: int, height: int):
+    """Deterministic pixel-CENTER primary rays for the whole frame (no CMJ
+    jitter): the depth/position probe used by temporal reprojection.
+    Returns (origin[W*H,3], dir[W*H,3]) in row-major pixel order."""
+    pix = jnp.arange(width * height, dtype=jnp.uint32)
+    py_i, px_i = divmod_u24(pix, width)
+    px = px_i.astype(jnp.float32) + 0.5
+    py = py_i.astype(jnp.float32) + 0.5
+    u = (2.0 * px - width) / height
+    v = (height - 2.0 * py) / height
+    d = normalize(
+        u[:, None] * cam.right[None, :]
+        + v[:, None] * cam.up[None, :]
+        + cam.f * cam.direction[None, :]
+    )
+    o = jnp.broadcast_to(cam.position[None, :], d.shape)
+    return o, d
+
+
+def project_to_pixel(cam: Camera, pts: jnp.ndarray, width: int, height: int):
+    """Inverse of the raygen mapping: world points [N,3] -> continuous
+    pixel coordinates (px[N], py[N], valid[N]).
+
+    right/up follow the reference basis (renderer.h:1165-1168) and are
+    orthogonal to each other and to direction but NOT unit length when the
+    camera pitches, so the solve uses the orthogonal dual basis: for
+    w = P - pos = s*(u*right + v*up + f*dir),  w.dir = s*f  (dir is unit),
+    w.right = s*u*|right|^2, w.up = s*v*|up|^2.  valid = point in front of
+    the camera (s > 0)."""
+    w = pts - cam.position[None, :]
+    wd = w @ cam.direction
+    r2 = jnp.maximum(jnp.dot(cam.right, cam.right), 1e-12)
+    u2 = jnp.maximum(jnp.dot(cam.up, cam.up), 1e-12)
+    valid = wd > 1e-6
+    denom = jnp.where(valid, wd, 1.0)
+    u = cam.f * (w @ cam.right) / (r2 * denom)
+    v = cam.f * (w @ cam.up) / (u2 * denom)
+    px = (u * height + width) * 0.5
+    py = (height - v * height) * 0.5
+    return px, py, valid
+
+
 def camera_rays(
     cam: Camera,
     width: int,

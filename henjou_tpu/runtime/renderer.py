@@ -948,14 +948,60 @@ class Renderer:
                 and prev_frame is not None
                 and frame == prev_frame + 1
             )
+            cam = None
+            pos = hitm = None
+            if frame is not None and self.device_scene is not None:
+                # depth probe for motion-compensated history (also run on
+                # the first frame so its camera is banked for frame+1)
+                try:
+                    time_s = frame / float(self.option.fps)
+                    transforms, inv_t = self._frame_transforms(time_s)
+                    frame_scene = self._frame_build(
+                        self.device_scene, transforms, inv_t
+                    )
+                    cam = self._frame_camera(time_s)
+                    cache = getattr(self, "_accel_cache", None)
+                    accel = cache[1] if cache else None
+                    pos, hitm = _temporal_depth_probe(
+                        frame_scene,
+                        self.sky,
+                        cam,
+                        accel,
+                        color.shape[1],
+                        color.shape[0],
+                    )
+                except Exception:  # pragma: no cover - probe is best-effort
+                    log.exception("temporal depth probe failed; blend-only")
+                    cam = pos = hitm = None
+            prev_cam = getattr(self, "_temporal_prev_cam", None)
             if prev is None or prev[0].shape != color.shape or not sequential:
                 from henjou_tpu.post.denoise import denoise_atrous
 
                 out = denoise_atrous(color, albedo, normal)
+            elif cam is not None and prev_cam is not None and pos is not None:
+                from henjou_tpu.post.denoise import (
+                    denoise_temporal_reprojected,
+                )
+                from henjou_tpu.runtime.camera import project_to_pixel
+
+                h, w = color.shape[0], color.shape[1]
+                px, py, infront = project_to_pixel(
+                    prev_cam, pos.reshape(-1, 3), w, h
+                )
+                out = denoise_temporal_reprojected(
+                    color,
+                    albedo,
+                    normal,
+                    *prev,
+                    px.reshape(h, w),
+                    py.reshape(h, w),
+                    (infront.reshape(h, w) & hitm),
+                )
             else:
                 out = denoise_temporal(color, albedo, normal, *prev)
             self._temporal_history = (out, albedo, normal)
             self._temporal_prev_frame = frame
+            self._temporal_prev_cam = cam
             return np.asarray(out)
         if mode in (RenderMode.DENOISE, RenderMode.DENOISE_UPSCALE2X):
             from henjou_tpu.post.denoise import denoise_atrous, upscale2x
@@ -987,3 +1033,37 @@ class Renderer:
         else:
             raise ValueError(f"unsupported scene file: {path}")
         self.build()
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _temporal_depth_probe(frame_scene, sky, cam, accel, width, height):
+    """Pixel-center first-hit world positions for temporal reprojection:
+    ([H,W,3] position, [H,W] hit mask). One deterministic closest-hit
+    pass per frame (the flow-vector source the OptiX TEMPORAL denoiser
+    takes as input, denoiser.h:35-40) — noise-free and negligible next
+    to the frame's spp loop. `accel` rides as a pytree argument so
+    animated frames reuse the compiled probe."""
+    from henjou_tpu.integrator.payload import closest_hit
+    from henjou_tpu.runtime.camera import camera_rays_centers
+
+    ifn = None
+    if accel is not None:
+        from henjou_tpu.accel.pallas_binned import (
+            BinnedClusters,
+            make_binned_intersector,
+        )
+
+        if isinstance(accel, BinnedClusters):
+            # raw kernel, no sorted wrapper: pixel-center camera rays are
+            # already tile-coherent
+            ifn, _ = make_binned_intersector(accel)
+        else:
+            from henjou_tpu.accel.traverse import make_bvh_intersector
+
+            ifn, _ = make_bvh_intersector(accel)
+    o, d = camera_rays_centers(cam, width, height)
+    hit = closest_hit(frame_scene, sky, o, d, intersect_fn=ifn)
+    return (
+        hit.position.reshape(height, width, 3),
+        hit.is_hit.reshape(height, width),
+    )

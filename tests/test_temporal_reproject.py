@@ -1,0 +1,147 @@
+"""Motion-compensated temporal denoising (the flow-input analogue of the
+OptiX TEMPORAL denoiser kind, reference include/renderer/denoiser.h:35-40).
+
+Covers: the world->pixel projection inverse of raygen, bilinear history
+warping, and the end-to-end property that under a moving camera the
+reprojected blend ghosts LESS than the unwarped blend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cam(pos, look, fov=np.pi / 4):
+    from henjou_tpu.runtime.camera import make_camera
+
+    d = np.asarray(look, np.float32) - np.asarray(pos, np.float32)
+    return make_camera(pos, d / np.linalg.norm(d), fov)
+
+
+def test_project_to_pixel_inverts_raygen():
+    """Points placed along pixel-center rays project back to those exact
+    pixel centers (the dual-basis solve handles the reference's
+    non-unit right/up when the camera pitches)."""
+    from henjou_tpu.runtime.camera import camera_rays_centers, project_to_pixel
+
+    w, h = 24, 16
+    # pitched camera: direction NOT horizontal, so |right| != 1
+    cam = _cam([1.0, 2.5, -4.0], [0.2, 0.4, 1.0])
+    o, d = camera_rays_centers(cam, w, h)
+    ts = jnp.linspace(0.5, 12.0, w * h)[:, None]
+    pts = o + ts * d
+    px, py, valid = project_to_pixel(cam, pts, w, h)
+    iy, ix = np.divmod(np.arange(w * h), w)
+    assert bool(np.all(np.asarray(valid)))
+    np.testing.assert_allclose(np.asarray(px), ix + 0.5, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(py), iy + 0.5, atol=2e-3)
+
+
+def test_project_behind_camera_invalid():
+    from henjou_tpu.runtime.camera import project_to_pixel
+
+    cam = _cam([0.0, 0.0, 0.0], [0.0, 0.0, 1.0])
+    pts = jnp.asarray([[0.0, 0.0, -5.0], [0.0, 0.0, 5.0]], jnp.float32)
+    _, _, valid = project_to_pixel(cam, pts, 16, 16)
+    assert not bool(valid[0]) and bool(valid[1])
+
+
+def test_bilinear_sample_identity_and_bounds():
+    from henjou_tpu.post.denoise import _bilinear_sample
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((8, 12, 3), dtype=np.float32))
+    yy, xx = jnp.meshgrid(
+        jnp.arange(8, dtype=jnp.float32) + 0.5,
+        jnp.arange(12, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    out, inb = _bilinear_sample(img, xx, yy)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+    assert bool(inb.all())
+    _, inb2 = _bilinear_sample(img, xx - 100.0, yy)
+    assert not bool(inb2.any())
+
+
+def test_reprojection_beats_blend_under_camera_motion():
+    """A textured plane viewed by a translating camera: warp the previous
+    frame's (noise-free) output through the previous camera and compare
+    against the current frame's true image. The motion-compensated
+    history must align far better than the unwarped history — the ghost
+    the plain blend would smear in."""
+    from henjou_tpu.runtime.camera import camera_rays_centers, project_to_pixel
+    from henjou_tpu.post.denoise import _bilinear_sample
+
+    w, h = 64, 48
+
+    def plane_image(cam):
+        """Intersect pixel-center rays with the y=0 plane and shade by a
+        smooth function of the hit point (world-anchored texture)."""
+        o, d = camera_rays_centers(cam, w, h)
+        t = -o[:, 1] / d[:, 1]
+        p = o + t[:, None] * d
+        col = jnp.stack(
+            [
+                0.5 + 0.5 * jnp.sin(1.3 * p[:, 0]),
+                0.5 + 0.5 * jnp.cos(0.9 * p[:, 2]),
+                0.5 + 0.5 * jnp.sin(0.7 * (p[:, 0] + p[:, 2])),
+            ],
+            axis=1,
+        )
+        return (
+            p.reshape(h, w, 3),
+            col.reshape(h, w, 3),
+            (t > 0).reshape(h, w),
+        )
+
+    cam_prev = _cam([0.0, 3.0, -6.0], [0.0, 0.0, 0.0])
+    cam_cur = _cam([0.6, 3.0, -6.0], [0.6, 0.0, 0.0])  # pure truck right
+
+    _, img_prev, _ = plane_image(cam_prev)
+    pos_cur, img_cur, hitm = plane_image(cam_cur)
+
+    px, py, infront = project_to_pixel(cam_prev, pos_cur.reshape(-1, 3), w, h)
+    warped, inb = _bilinear_sample(
+        img_prev, px.reshape(h, w), py.reshape(h, w)
+    )
+    ok = (
+        np.asarray(inb)[..., 0].astype(bool)
+        & np.asarray(infront).reshape(h, w)
+        & np.asarray(hitm)
+    )
+    err_warped = np.abs(np.asarray(warped) - np.asarray(img_cur))[ok].mean()
+    err_unwarped = np.abs(np.asarray(img_prev) - np.asarray(img_cur))[ok].mean()
+    assert err_warped < 0.02, err_warped  # sub-pixel after warping
+    assert err_warped < err_unwarped * 0.25, (err_warped, err_unwarped)
+
+
+def test_denoise_temporal_reprojected_rejects_disocclusion():
+    """Lanes whose reprojection is invalid (off-screen / miss) must get
+    ZERO history weight — identical to the pure spatial filter there."""
+    from henjou_tpu.post.denoise import (
+        denoise_atrous,
+        denoise_temporal_reprojected,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w = 16, 16
+    color = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    albedo = jnp.ones((h, w, 3), jnp.float32) * 0.5
+    normal = jnp.zeros((h, w, 3), jnp.float32).at[..., 2].set(1.0)
+    prev = jnp.ones((h, w, 3), jnp.float32) * 7.0  # poisoned history
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32) + 0.5,
+        jnp.arange(w, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    out = denoise_temporal_reprojected(
+        color, albedo, normal, prev, albedo, normal,
+        xx, yy, jnp.zeros((h, w), bool),  # reproject_valid = all False
+    )
+    spatial = denoise_atrous(color, albedo, normal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(spatial), atol=1e-6)
+    # and with valid reprojection + agreeing guides, history IS used
+    out2 = denoise_temporal_reprojected(
+        color, albedo, normal, prev, albedo, normal,
+        xx, yy, jnp.ones((h, w), bool),
+    )
+    assert float(jnp.abs(out2 - spatial).max()) > 1.0
