@@ -322,10 +322,16 @@ def wavefront_render(
             cos2_b = absdot(-wi_b, hit_b.normal)
             dist_b = jnp.maximum(length(hit_b.position - hit.position), 1e-12)
             inv_g = dist_b * dist_b / jnp.maximum(cos2_b, 1e-12)
-            # reverse light pdf from the light-table area (same formula
-            # as light_pdf_fn, without its [R]-row area gather)
-            n_lights_f = jnp.asarray(frame.device.num_lights, jnp.float32)
-            rev_pdf = 1.0 / jnp.maximum(area_l * n_lights_f, 1e-12)
+            # reverse light pdf from the light-table area + per-prim
+            # selection prob (same formula as light_pdf_fn; the [T]
+            # table is loop-invariant and the gather is one scalar/lane)
+            from henjou_tpu.sampling.light_sample import (
+                light_selection_prob_by_prim,
+            )
+
+            sel_tbl = light_selection_prob_by_prim(frame)
+            sel_l = sel_tbl[jnp.maximum(prim_l, 0)]
+            rev_pdf = sel_l / jnp.maximum(area_l, 1e-12)
             lp = jnp.where(hit.is_specular, 0.0, rev_pdf * inv_g)
             w_bsdf = pt_pdf_b / jnp.maximum(pt_pdf_b + lp, 1e-12)
             contrib_hit = (

@@ -91,12 +91,18 @@ def test_renderer_animated_frames_zero_host_repacks(tmp_path, monkeypatch):
 
     monkeypatch.setattr(pb, "pack_binned_np", counting_pack)
 
-    opt = RenderOption()
-    opt.image_width = opt.image_height = 32
-    opt.max_spp = 2
-    opt.spp_batch = 2
-    opt.start_frame, opt.end_frame = 0, 3
-    opt.engine = "masked"
+    import dataclasses
+
+    opt = dataclasses.replace(
+        RenderOption(),
+        image_width=32,
+        image_height=32,
+        max_spp=2,
+        spp_batch=2,
+        start_frame=0,
+        end_frame=3,
+        engine="masked",
+    )
     r = Renderer(option=opt, integrator="pathtrace")
     r.set_scene(scene)
     r.build()
