@@ -791,7 +791,7 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
         (RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
 
     vmem_rows = bc.rows.size * 4 <= VMEM_ROWS_BUDGET
     ctot = bc.num_groups * bc.group
