@@ -121,6 +121,7 @@ def test_reverse_pdf_table_consistent():
     np.testing.assert_allclose(pdfs, tbl[lp] / area, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_power_unbiased_and_lower_variance(monkeypatch):
     """MIS renders of the two-light scene: power and uniform selection
     agree in the mean (unbiased) and power has lower pixel variance

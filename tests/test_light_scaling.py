@@ -103,6 +103,7 @@ def test_chunked_intersect_lights_exact_at_1100_lights(light_frame):
     np.testing.assert_allclose(np.asarray(t)[h_ref], t_ref[h_ref], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_binned_light_intersector_matches_dense(light_frame):
     from henjou_tpu.sampling.light_sample import (
         build_light_accel,

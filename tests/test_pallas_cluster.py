@@ -106,6 +106,7 @@ def test_hbm_any_hit_and_tmax():
     np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_p))
 
 
+@pytest.mark.slow
 def test_binned_matches_bruteforce_interpret():
     from henjou_tpu.accel.pallas_binned import intersect_binned, pack_binned_np
 

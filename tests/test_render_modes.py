@@ -172,6 +172,7 @@ def test_golden_cornell_regression():
     assert rmse < 2.0, f"golden mismatch: RMSE {rmse}"
 
 
+@pytest.mark.slow
 def test_wavefront_film_chunking_matches_single_chunk(monkeypatch):
     """Renderer-level pixel chunking (film scatter size-cliff fix,
     FILM_CHUNK_PIXELS): a frame rendered in 4 chunks must match the

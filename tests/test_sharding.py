@@ -47,6 +47,7 @@ def _flagship(width=16, height=16, max_depth=3):
     return render_one_spp
 
 
+@pytest.mark.slow
 def test_spp_sharded_matches_sequential():
     """8 spp rendered as one sharded step (one spp per chip, psum over the
     mesh) must equal the sequential 8-spp average on one device."""
@@ -65,6 +66,7 @@ def test_spp_sharded_matches_sequential():
     np.testing.assert_allclose(np.asarray(c_sharded), c_seq, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_wavefront_sharded_matches_unsharded():
     """Device k renders its own spp slice with the refilling wavefront
     engine; the psum of partial films must equal the single-pool render of
@@ -110,6 +112,7 @@ def test_wavefront_sharded_matches_unsharded():
     assert abs(float(tr8) - float(ref.n_traces)) < 1e-3
 
 
+@pytest.mark.slow
 def test_tile_sharded_matches_unsharded():
     from jax.sharding import Mesh
 
@@ -152,6 +155,7 @@ def test_tile_sharded_matches_unsharded():
     )
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     import importlib.util
     import os
