@@ -274,7 +274,7 @@ def test_binned_subtile_sweep_interpret():
             bc = pb.pack_binned_np(np.asarray(tris))
         finally:
             pb.MAX_FINE_CLUSTERS = old_fine
-        for st in (1, 2, 8):
+        for st in (1, 2, 8, 16):
             t_p, p_p, _, _, h_p = pb.intersect_binned(
                 bc, o, d, 1e-3, interpret=True, subtiles=st
             )
