@@ -49,6 +49,9 @@ RAY_TILE = 256
 # cluster groups per worklist entry: 1 while the per-tile worklist fits
 # comfortably in SMEM, SC for big scenes
 MAX_FINE_CLUSTERS = 512
+# worklist-length cap: group size doubles until num_groups fits (the
+# [tiles, num_groups] list+tent prefetch operands live in SMEM)
+MAX_GROUPS = 256
 
 
 @jax.tree_util.register_dataclass
@@ -129,6 +132,14 @@ def pack_binned_np(tri_verts) -> BinnedClusters:
     pad = (-t) % K
     c = (t + pad) // K
     group = 1 if c <= MAX_FINE_CLUSTERS else SC
+    # the per-tile worklist prefetch operand is [tiles, num_groups] in
+    # SMEM: at ~1M tris (7.8k clusters) group=16 leaves 488 groups ->
+    # ~1 MB of list+tent words for a 64k-ray pool, over the SMEM budget.
+    # Coarsen the DMA/worklist granularity until <=256 groups (the
+    # nibble bits stay per CLUSTER, so MT-skip granularity is unchanged;
+    # cap at 64 clusters/group = 2x512 KB VMEM staging buffers).
+    while group > 1 and group < 64 and (c + group - 1) // group > MAX_GROUPS:
+        group *= 2
     g = (c + group - 1) // group
     ctot = g * group
 
@@ -767,11 +778,14 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
     subt = subtiles
     if subt == 0:
         subt = 4 if RAY_TILE % 32 == 0 else 1
-        # keep the per-(tile, cluster) bits operand inside the SMEM
-        # budget at very large cluster counts (1M tris @ subt=4 would
-        # be ~1 MB for a 64k-ray pool): halve granularity until it fits
+        # keep the TOTAL scalar-prefetch footprint (worklist + tent +
+        # bits) inside the SMEM budget at very large cluster counts
+        # (1M tris @ subt=4 would be ~2 MB for a 64k-ray pool): halve
+        # bit granularity until it fits
         nct = bc.num_groups * bc.group
-        while subt > 1 and (rp // RAY_TILE) * (
+        tiles = rp // RAY_TILE
+        fixed = tiles * (2 * int(bc.gaabb.shape[1]) + 1) * 4  # list+tent+count
+        while subt > 1 and fixed + tiles * (
             (nct + (32 // subt) - 1) // (32 // subt)
         ) * 4 > (1 << 20):
             subt //= 2

@@ -182,11 +182,12 @@ def main():
     if "occlraw" in sys.argv[2:]:
         configs = [("occlraw", 256, 1 << 16)]
     if "subtsweep" in sys.argv[2:]:
-        # subtile-granular cluster bits at fixed rt=256 (SMEM-bounded:
-        # 8 subtiles ~ 500 KB bits at 2k clusters)
+        # subtile-granular cluster bits at fixed rt=256. CPU culling
+        # oracle (exp_sortkey): vs subt=4, subt=8 cuts MT work ~31% and
+        # subt=16 ~50% — measure the engine-level marginal iteration.
         configs = [
-            ("pertrace", 256, 1 << 16, None, 2),
             ("pertrace", 256, 1 << 16, None, 8),
+            ("pertrace", 256, 1 << 16, None, 16),
         ]
     if "rtsweep" in sys.argv[2:]:
         # culling quality vs program overhead, post-exact-union prepass:
