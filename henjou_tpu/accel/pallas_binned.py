@@ -524,39 +524,38 @@ def _kernel(
         return m
 
     def mt_block(src_ref, b, s=0):
-        """Dense triangle test of the tile (or, for grouped scenes, one
-        subtile row slice — SUBTILE GRANULARITY is what makes big-scene
-        culling effective: exact per-64-ray unions need ~3x fewer
-        clusters than per-256-ray ones on incoherent bounce rays, see
-        _tile_worklists) against src_ref rows [b, b+16) (one K-wide
-        cluster); ids ride in plane 12. The test is the Baldwin-Weber
-        transformed form (plane hit + two affine barycentric evals, ~31
-        vector ops) — the per-triangle cross products of Möller-Trumbore
-        (~47 ops) are precomputed into the rows at build time
-        (_baldwin_rows_np)."""
+        """Dense triangle test of the tile (or one subtile row slice)
+        against src_ref rows [b, b+16) (one K-wide cluster); see
+        load_rows/mt_eval. The test is the Baldwin-Weber transformed
+        form (plane hit + two affine barycentric evals) — the
+        per-triangle cross products of Möller-Trumbore are precomputed
+        into the rows at build time (_baldwin_rows_np)."""
+        mt_eval(load_rows(src_ref, b), s)
+
+    def load_rows(src_ref, b):
+        """The cluster's Baldwin-Weber geometry rows (+ the tri-id plane
+        for closest hits), loaded ONCE per cluster — shared across every
+        live subtile's mt_eval (re-paying the loads+broadcasts per
+        subtile measured ~5% of contest-scale kernel time; taken
+        clusters average ~2 live subtiles there)."""
+        n_rows = 12 if any_hit else 13
+        return tuple(
+            src_ref[pl.ds(b + j, 1), :] for j in range(n_rows)
+        )
+
+    def mt_eval(rows, s=0):
+        """Evaluate one cluster's loaded rows against subtile slice `s`
+        and fold into its best-hit refs. Mask notes: pad/degenerate
+        triangles have all-zero rows -> tt == 0 -> culled by tt > tmin
+        (tmin is clamped >= 0 in intersect_binned), so no explicit
+        tri-id/determinant validity terms are needed."""
+        (nxr, nyr, nzr, dplr, g1xr, g1yr, g1zr, h1r,
+         g2xr, g2yr, g2zr, h2r) = rows[:12]
         oxs, oys, ozs = rows_of(ox, s), rows_of(oy, s), rows_of(oz, s)
         dxs, dys, dzs = rows_of(dx, s), rows_of(dy, s), rows_of(dz, s)
         tmins = rows_of(tmin, s)
-        k_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (oxs.shape[0], K), 1
-        )
-        bts, bps, bus, bvs = bt_refs[s], bp_refs[s], bu_refs[s], bv_refs[s]
+        bts, bps = bt_refs[s], bp_refs[s]
         best_t_j = bts[:]
-        nxr = src_ref[pl.ds(b + 0, 1), :]
-        nyr = src_ref[pl.ds(b + 1, 1), :]
-        nzr = src_ref[pl.ds(b + 2, 1), :]
-        dplr = src_ref[pl.ds(b + 3, 1), :]
-        g1xr = src_ref[pl.ds(b + 4, 1), :]
-        g1yr = src_ref[pl.ds(b + 5, 1), :]
-        g1zr = src_ref[pl.ds(b + 6, 1), :]
-        h1r = src_ref[pl.ds(b + 7, 1), :]
-        g2xr = src_ref[pl.ds(b + 8, 1), :]
-        g2yr = src_ref[pl.ds(b + 9, 1), :]
-        g2zr = src_ref[pl.ds(b + 10, 1), :]
-        h2r = src_ref[pl.ds(b + 11, 1), :]
-        ordr = jax.lax.bitcast_convert_type(
-            src_ref[pl.ds(b + 12, 1), :], jnp.int32
-        )
 
         nd = dxs * nxr + dys * nyr + dzs * nzr
         no = oxs * nxr + oys * nyr + ozs * nzr
@@ -568,23 +567,23 @@ def _kernel(
         uu = h1r + g1xr * px + g1yr * py + g1zr * pz
         vv = h2r + g2xr * px + g2yr * py + g2zr * pz
         ok = (
-            (jnp.abs(nd) > 1e-12)
-            & (uu >= 0.0)
+            (uu >= 0.0)
             & (vv >= 0.0)
             & (uu + vv <= 1.0)
             & (tt > tmins)
             & (tt < best_t_j)
-            & (ordr >= 0)
         )
         if any_hit:
             # occlusion only needs a per-lane hit FLAG: skip the argmin /
-            # attribute picks (~40% of the block's flops), and collapse a
-            # hit lane's best-t to tmin so the tile-wide early exit
-            # tightens as lanes get occluded
+            # attribute picks, and collapse a hit lane's best-t to tmin
+            # so the tile-wide early exit tightens as lanes get occluded
             hit_any = jnp.any(ok, axis=1, keepdims=True)
             bts[:] = jnp.where(hit_any, tmins, best_t_j)
             bps[:] = jnp.where(hit_any, 1, bps[:])
             return
+        ordr = jax.lax.bitcast_convert_type(rows[12], jnp.int32)
+        bus, bvs = bu_refs[s], bv_refs[s]
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
         tt = jnp.where(ok, tt, _BIG)
         bt_k = jnp.min(tt, axis=1, keepdims=True)
         hit_any = bt_k < best_t_j
@@ -675,13 +674,15 @@ def _kernel(
 
                 @pl.when(nib != 0)
                 def _(nib=nib):
+                    if not (ablate & 1):
+                        rows12 = load_rows(src, b)
                     for s in range(subt):
                         live = (((nib >> s) & 1) != 0) & (tn <= btm[s])
 
                         @pl.when(live)
                         def _(s=s):
                             if not (ablate & 1):
-                                mt_block(src, b, s)
+                                mt_eval(rows12, s)
 
             for j in range(group):
                 nib_gate(gid * group + j, src_ref, base + j * 16, tnext)
@@ -754,7 +755,9 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
     scales linearly (1 MB budget; 4 subtiles at 2k clusters ~ 250 KB)."""
     RAY_TILE = ray_tile
     r = ray_o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    # tmin >= 0 is what lets the kernel's mask drop explicit pad/degenerate
+    # terms (all-zero rows give tt == 0, culled by tt > tmin)
+    tmin = jnp.maximum(jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,)), 0.0)
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
 
     # EXACT tmax clamp: no hit can lie beyond the ray's scene-AABB exit
@@ -777,7 +780,11 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
 
     subt = subtiles
     if subt == 0:
-        subt = 4 if RAY_TILE % 32 == 0 else 1
+        # subtile bits pay only at scale: grouped scenes measured 77 ->
+        # 4.6x closest-kernel cost without them, but at gallery-size
+        # cluster counts the per-(cluster, subtile) gating is pure
+        # overhead (10.76 vs 11.87 ms/iter, BASELINE round-3)
+        subt = 4 if (bc.group > 1 and RAY_TILE % 32 == 0) else 1
         # keep the TOTAL scalar-prefetch footprint (worklist + tent +
         # bits) inside the SMEM budget at very large cluster counts
         # (1M tris @ subt=4 would be ~2 MB for a 64k-ray pool): halve
@@ -830,7 +837,7 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
         in_specs=[rows_spec] + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
         scratch_shapes=(
-            # per-subtile best-hit state (bt x subt, bp x subt, ...)
+            # per-subtile best-hit state (bt/bp/bu/bv x subt)
             [pltpu.VMEM((RAY_TILE // subt, 1), jnp.float32)] * subt
             + [pltpu.VMEM((RAY_TILE // subt, 1), jnp.int32)] * subt
             + [pltpu.VMEM((RAY_TILE // subt, 1), jnp.float32)] * subt

@@ -51,7 +51,7 @@ def octant(d):
     )
 
 
-def make_key(o, d, lo, inv_ext, kind):
+def make_key(o, d, lo, inv_ext, kind, cid=None):
     q = np.clip((o - lo) * inv_ext, 0.0, 1.0 - 1e-7)
     if kind == "morton24":
         return morton(q, 8)
@@ -63,6 +63,19 @@ def make_key(o, d, lo, inv_ext, kind):
         return (hi << (3 + 18 - p)) | (octant(d) << (18 - p)) | lo_bits
     if kind == "m24oct":  # morton24 major, octant minor
         return (morton(q, 8) << 3) | octant(d)
+    # origin-CLUSTER keys: the median-split cluster id of the surface the
+    # ray leaves — a far tighter origin bucket than any scene-grid morton
+    # cell, and available for free in the wavefront engine (the closest
+    # trace's winning cluster id)
+    if kind == "cid":
+        return cid.astype(np.int64)
+    if kind == "cidoct":  # cluster major, octant minor
+        return (cid.astype(np.int64) << 3) | octant(d)
+    if kind == "octcid":  # octant major, cluster minor
+        return (octant(d) << 14) | cid.astype(np.int64)
+    if kind == "cid_dm6":  # cluster major, 2b/axis direction morton minor
+        dq = np.clip((d + 1.0) * 0.5, 0.0, 1.0 - 1e-7)
+        return (cid.astype(np.int64) << 6) | morton(dq, 2)
     raise ValueError(kind)
 
 
@@ -148,7 +161,14 @@ def main():
         return p.astype(np.float32), nrm.astype(np.float32), tri
 
     # bounce rays: cosine hemisphere around the surface normal
-    p, nrm, _ = surface_points(n)
+    p, nrm, otri = surface_points(n)
+    # tri -> median-split cluster id (same ordering pack_binned_np uses)
+    from henjou_tpu.accel.pallas_binned import _median_split_order
+
+    order = _median_split_order(tv.mean(axis=1))
+    cluster_of = np.empty(tv.shape[0], np.int64)
+    cluster_of[order] = np.arange(len(order)) // K
+    ocid = cluster_of[otri]
     u1 = rng.random(n, dtype=np.float32)
     u2 = rng.random(n, dtype=np.float32)
     r = np.sqrt(u1)
@@ -191,7 +211,10 @@ def main():
 
     tmin = np.full(n, 1e-3, np.float32)
 
-    kinds = ["oct@0", "oct@6", "oct@9", "oct@12", "oct@18", "morton24", "m24oct"]
+    kinds = [
+        "oct@0", "oct@6", "oct@9", "oct@12", "oct@18", "morton24", "m24oct",
+        "cid", "cidoct", "octcid", "cid_dm6",
+    ]
     names = {"oct@0": "oct@0  (= current)", "oct@18": "oct@18 (octant-minor)"}
 
     for label, o, d, tx in [
@@ -206,7 +229,7 @@ def main():
         m1, _ = union_stats(amin, amax, o, d, tmin, tx, 1)
         print(f"{m1:.1f} -> tests/ray {m1 * K:.0f})")
         for kind in kinds:
-            key = make_key(o, d, lo, inv_ext, kind)
+            key = make_key(o, d, lo, inv_ext, kind, cid=ocid)
             order = np.argsort(key, kind="stable")
             os_, ds_, tx_ = o[order], d[order], tx[order]
             m64, p64 = union_stats(amin, amax, os_, ds_, tmin[order], tx_, 64)

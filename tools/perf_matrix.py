@@ -181,6 +181,11 @@ def main():
     ]
     if "occlraw" in sys.argv[2:]:
         configs = [("occlraw", 256, 1 << 16)]
+    if "subt1" in sys.argv[2:]:
+        # disable subtile bits/gating entirely (the pre-exact-union
+        # small-scene path): is the nibble machinery pure overhead at
+        # tiny cluster counts?
+        configs = [("pertrace", 256, 1 << 16, None, 1)]
     if "subtsweep" in sys.argv[2:]:
         # subtile-granular cluster bits at fixed rt=256. CPU culling
         # oracle (exp_sortkey): vs subt=4, subt=8 cuts MT work ~31% and
