@@ -893,13 +893,20 @@ class Renderer:
                     written.append(path)
                 continue
             remaining = budget_s - (t0 - overall_t0)
+            # animation-wide budget (renderer.h:1073,1309: time_limit*60 s
+            # for the WHOLE run): split what's left evenly over the frames
+            # still to render, else frame 0 eats the entire budget and
+            # every later frame's minimum spp batch overshoots it
+            frames_left = max(opt.end_frame - frame, 1)
             out_dir = os.path.join(
                 opt.image_directory, os.path.dirname(opt.image_name)
             )
             base = os.path.basename(opt.image_name)
             ckpt = os.path.join(out_dir, f".{base}_{frame:03d}.ckpt.npz")
             aovs = self.render_frame(
-                frame, deadline=max(remaining, 1.0), checkpoint_path=ckpt
+                frame,
+                deadline=max(remaining / frames_left, 1.0),
+                checkpoint_path=ckpt,
             )
             if os.path.exists(ckpt):
                 os.remove(ckpt)  # frame complete

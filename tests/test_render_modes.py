@@ -186,3 +186,39 @@ def test_wavefront_film_chunking_matches_single_chunk(monkeypatch):
         chunked["color"], whole["color"], rtol=1e-6, atol=1e-7
     )
     assert chunked["spp_done"] == whole["spp_done"]
+
+
+def test_animation_budget_split_across_frames(tmp_path, monkeypatch):
+    """The time budget is ANIMATION-wide (renderer.h:1073,1309): the
+    per-frame deadline must be remaining/frames_left, not the whole
+    remaining budget — otherwise frame 0 spends everything and each
+    later frame's minimum spp batch overshoots."""
+    import dataclasses
+
+    from henjou_tpu.runtime import renderer as rmod
+
+    r = _mk_renderer(RenderMode.DEFAULT, spp=8, size=16)
+    r.option = dataclasses.replace(
+        r.option, image_directory=str(tmp_path), image_name="bud",
+        start_frame=0, end_frame=3, time_limit=1.5,  # 90 s budget
+    )
+
+    clock = {"t": 1000.0}
+    monkeypatch.setattr(rmod.time, "monotonic", lambda: clock["t"])
+
+    seen = []
+
+    def fake_render_frame(self, frame, deadline=None, checkpoint_path=None):
+        seen.append(deadline)
+        # frame 0 finishes early (10 s); later frames use their full slice
+        clock["t"] += 10.0 if frame == 0 else deadline
+        img = np.zeros((4, 4, 3), np.float32)
+        return {"color": img, "albedo": img, "normal": img, "spp_done": 1}
+
+    monkeypatch.setattr(Renderer, "render_frame", fake_render_frame)
+    r.initialize_and_render()
+
+    assert len(seen) == 3
+    np.testing.assert_allclose(seen[0], 90.0 / 3)
+    np.testing.assert_allclose(seen[1], (90.0 - 10.0) / 2)  # early finish rolls over
+    np.testing.assert_allclose(seen[2], 90.0 - 10.0 - seen[1])
