@@ -70,31 +70,41 @@ def _slab_chunk(amin, amax, o, d, tmin, tmax):
     return tn, tn <= tf
 
 
-def _compact_pairs(bc, o, d, tmin, tmax, kmax, pair_cap, lower):
+def _compact_pairs(bc, o, d, tmin, tmax, kmax, pair_cap, lo_t, lo_cid):
     """Stages 1-3: per-ray top-k needed clusters -> flat pair arrays.
 
-    `lower` [R]: only clusters with t_enter STRICTLY beyond it count
-    (-inf on the first sweep; the processed window's far edge after).
+    `(lo_t, lo_cid)` [R]: the processed window's far-edge CURSOR — only
+    clusters LEXICOGRAPHICALLY beyond (t_enter, cid) count. The cid
+    tiebreak matters: t_enter ties are pervasive (every cluster AABB
+    containing the ray origin enters at exactly tmin), and a t-only
+    strict threshold would skip unprocessed ties forever. lax.top_k
+    breaks value ties toward the lower index, so the processed prefix
+    is exactly the lexicographic window.
     Returns (pair_ray [P], pair_cid [P], pair_valid [P], cnt [R],
-    kth [R], clipped [R]): cnt is the unclipped per-ray need count
-    (cnt > kmax <=> top_k overflow), kth the window's far-edge t_enter
-    (inf when unfilled), clipped marks rays whose pairs fell beyond
-    pair_cap."""
+    kth [R], kc [R], clipped [R]): cnt is the remaining per-ray need
+    count (cnt > kmax <=> top_k overflow), (kth, kc) the window's
+    far-edge cursor (inf when unfilled), clipped marks rays whose pairs
+    fell beyond pair_cap (their window was NOT evaluated)."""
     r = o.shape[0]
     amin, amax = bc.aabb[0:3], bc.aabb[3:6]
     ids_l, cnt_l, kth_l = [], [], []
     for s in range(0, r, RB):
         e = min(s + RB, r)
         tn, need = _slab_chunk(amin, amax, o[s:e], d[s:e], tmin[s:e], tmax[s:e])
-        need = need & (tn > lower[s:e, None])
+        cid_row = jnp.arange(tn.shape[1], dtype=jnp.int32)[None, :]
+        need = need & (
+            (tn > lo_t[s:e, None])
+            | ((tn == lo_t[s:e, None]) & (cid_row > lo_cid[s:e, None]))
+        )
         val = jnp.where(need, tn, jnp.inf)
-        neg, ids = jax.lax.top_k(-val, kmax)  # t_enter ascending
+        neg, ids = jax.lax.top_k(-val, kmax)  # (t_enter, cid) ascending
         ids_l.append(jnp.where(jnp.isfinite(neg), ids, -1))
         cnt_l.append(jnp.sum(need, axis=1, dtype=jnp.int32))
         kth_l.append(-neg[:, -1])  # inf if the window wasn't filled
     ids = jnp.concatenate(ids_l) if len(ids_l) > 1 else ids_l[0]
     cnt = jnp.concatenate(cnt_l) if len(cnt_l) > 1 else cnt_l[0]
     kth = jnp.concatenate(kth_l) if len(kth_l) > 1 else kth_l[0]
+    kc = ids[:, -1]  # -1 when the window wasn't filled
 
     cc = jnp.minimum(cnt, kmax)
     off = jnp.cumsum(cc) - cc  # exclusive
@@ -111,7 +121,7 @@ def _compact_pairs(bc, o, d, tmin, tmax, kmax, pair_cap, lower):
     pvalid = (p < off[-1] + cc[-1]) & (slot < cc[pr])
     cid = ids[pr, jnp.clip(slot, 0, kmax - 1)]
     pvalid = pvalid & (cid >= 0)
-    return pr, jnp.maximum(cid, 0), pvalid, cnt, kth, clipped
+    return pr, jnp.maximum(cid, 0), pvalid, cnt, kth, kc, clipped
 
 
 def _pair_pass_a(rows3, pr, cid, pvalid, o, d, tmin, tmax, any_hit):
@@ -192,10 +202,10 @@ def intersect_pairs(
     rows3 = bc.rows.reshape(ctot, 16, K)
     oob = jnp.full((r,), _BIG)  # scatter target for dropped lanes
 
-    def sweep(bt, lower, wcid):
-        pr, cid, pvalid, cnt, kth, clipped = _compact_pairs(
+    def sweep(bt, lo_t, lo_cid, wcid):
+        pr, cid, pvalid, cnt, kth, kc, clipped = _compact_pairs(
             bc, ray_o, ray_d, tmin, jnp.minimum(tmax, bt), kmax, pair_cap,
-            lower,
+            lo_t, lo_cid,
         )
         tgt = jnp.where(pvalid, pr, r)
         if any_hit:
@@ -220,25 +230,34 @@ def intersect_pairs(
                 .max(cid, mode="drop")
             )
             wcid = jnp.where(cand >= 0, cand, wcid)
-        # residual work: top_k overflow with a window edge that can still
-        # beat the best t, or pairs clipped by pair_cap
-        over = (cnt > kmax) & (kth < new_bt)
-        new_lower = jnp.where(over, kth, jnp.where(clipped, lower, jnp.inf))
-        return new_bt, new_lower, wcid, jnp.any(over | clipped)
+        # residual work: top_k overflow with a window edge that can
+        # still beat the best t, or pairs clipped by pair_cap. A
+        # CLIPPED ray's window was never evaluated, so it must re-run
+        # from its OLD cursor (clip takes precedence over overflow);
+        # progress is global — completed rays drop to zero need next
+        # sweep, freeing cap budget for the clipped tail.
+        over = (cnt > kmax) & (kth < new_bt) & ~clipped
+        new_lo_t = jnp.where(clipped, lo_t, jnp.where(over, kth, jnp.inf))
+        new_lo_c = jnp.where(
+            clipped, lo_cid, jnp.where(over, kc, jnp.int32(1 << 30))
+        )
+        return new_bt, new_lo_t, new_lo_c, wcid, jnp.any(over | clipped)
 
     bt0 = jnp.where(tmax > tmin, tmax, tmin)  # dead rays: zero-width
     wcid0 = jnp.full((r,), -1, jnp.int32)
-    bt, lower, wcid, more = sweep(bt0, jnp.full((r,), -jnp.inf), wcid0)
+    bt, lo_t, lo_c, wcid, more = sweep(
+        bt0, jnp.full((r,), -jnp.inf), jnp.full((r,), -1, jnp.int32), wcid0
+    )
 
     def cond(st):
-        return st[3] & (st[4] < max_sweeps)
+        return st[4] & (st[5] < max_sweeps)
 
     def body(st):
-        bt, lower, wcid, _, i = st
-        return sweep(bt, lower, wcid) + (i + 1,)
+        bt, lo_t, lo_c, wcid, _, i = st
+        return sweep(bt, lo_t, lo_c, wcid) + (i + 1,)
 
-    bt, _, wcid, _, _ = jax.lax.while_loop(
-        cond, body, (bt, lower, wcid, more, jnp.int32(1))
+    bt, _, _, wcid, _, _ = jax.lax.while_loop(
+        cond, body, (bt, lo_t, lo_c, wcid, more, jnp.int32(1))
     )
 
     if any_hit:

@@ -22,7 +22,17 @@ integrators draw-for-draw:
   - mis: +independent BSDF-branch trace with balance weights
     (rt.h:284-440; traces per bounce: radiance+shadow+branch, rt.h:304,
     356,396)
-"""
+
+`mis_single=True` switches MIS to the single-sample (shared-BSDF-draw)
+formulation: the path-continuation BSDF sample IS the MIS BSDF branch,
+so the branch's emission is collected at the NEXT bounce's radiance hit,
+weighted by the balance heuristic against the reverse light pdf of the
+prim actually hit. This deletes the per-bounce light-intersect pass and
+the bounded branch occlusion query (one of the two any-hit kernel walks
+— ~half the occlusion cost of a contest-scale iteration) and one of the
+two BSDF draws. Same integral, standard Veach one-sample MIS; images
+agree with the reference estimator in the Monte-Carlo-noise sense, not
+pixel-exactly (tests/test_wavefront.py::test_mis_single_converges)."""
 
 from __future__ import annotations
 
@@ -86,6 +96,7 @@ def wavefront_render(
     light_isect_fn: Optional[Callable] = None,
     pixel_base=0,
     pixel_count: Optional[int] = None,
+    mis_single: bool = False,
 ) -> WavefrontFilm:
     """Render width*height pixels at `spp` samples with a `lanes`-wide
     refilling pool. Returns per-pixel SUMS (divide by spp outside).
@@ -118,6 +129,12 @@ def wavefront_render(
         assert bsdf_eval is not None
     if use_mis:
         assert bsdf_pdf is not None
+    mis_single = bool(mis_single) and use_mis
+    if mis_single:
+        from henjou_tpu.sampling.light_sample import light_pdf
+
+        # loop-invariant [T] reverse-pdf table (XLA hoists the build)
+        _light_pdf = light_pdf
 
     eps_r = ray_eps(frame)  # scene-relative tmin (constants.ray_eps)
     n_pixels = pixel_count if pixel_count is not None else width * height
@@ -185,6 +202,10 @@ def wavefront_render(
         depth: jnp.ndarray
         valid: jnp.ndarray  # lane holds a real sample
         it: jnp.ndarray
+        # single-sample MIS: the previous bounce's BSDF pdf (solid angle)
+        # and whether that bounce was a delta lobe (weight-1 emission)
+        prev_pdf: jnp.ndarray = None
+        prev_spec: jnp.ndarray = None
 
     carry0 = Carry(
         film9=film9,
@@ -204,6 +225,8 @@ def wavefront_render(
         # a pool wider than the total work starts partially idle
         valid=(lane_ids < total_samples) & (szero_i == 0),
         it=jnp.zeros((), jnp.int32) + szero_i,
+        prev_pdf=jnp.ones((lanes,), jnp.float32) + szero_f,
+        prev_spec=jnp.ones((lanes,), bool) & (szero_i == 0),
     )
 
     def cond(c: Carry):
@@ -228,12 +251,37 @@ def wavefront_render(
         aov_n = jnp.where(first[:, None], hit.normal, c.aov_n)
 
         terminal = (~hit.is_hit) | hit.is_light
-        if use_nee:
-            # direct emitter/sky only at depth 0 (rt.h:196-208,318-330)
-            emit_gate = alive & terminal & first
-        else:
+        if mis_single:
+            # one-sample MIS: terminal emission at EVERY depth is
+            # collected here, balance-weighted against the reverse light
+            # pdf of the prim this ray (the previous bounce's shared BSDF
+            # draw) actually hit. Sky misses have lp=0 -> weight 1, the
+            # same limit as the reference's unweighted contrib on a
+            # branch miss (rt.h:343-355).
+            lp_area = _light_pdf(frame, hit.primitive_id)
+            dist2 = jnp.maximum(hit.t * hit.t, 1e-24)
+            cos2 = absdot(c.d, hit.normal)
+            lp = jnp.where(
+                hit.is_light, lp_area * dist2 / jnp.maximum(cos2, 1e-12), 0.0
+            )
+            w_emit = jnp.where(
+                first | c.prev_spec,
+                1.0,
+                c.prev_pdf / jnp.maximum(c.prev_pdf + lp, 1e-12),
+            )
             emit_gate = alive & terminal
-        lte = c.lte + jnp.where(emit_gate[:, None], thr * hit.emission, 0.0)
+            lte = c.lte + jnp.where(
+                emit_gate[:, None], thr * hit.emission * w_emit[:, None], 0.0
+            )
+        else:
+            if use_nee:
+                # direct emitter/sky only at depth 0 (rt.h:196-208,318-330)
+                emit_gate = alive & terminal & first
+            else:
+                emit_gate = alive & terminal
+            lte = c.lte + jnp.where(
+                emit_gate[:, None], thr * hit.emission, 0.0
+            )
         alive = alive & ~terminal
 
         n = hit.normal
@@ -280,7 +328,7 @@ def wavefront_render(
             ok = alive & l_valid & ~shadow_blocked & (l_pdf > 0.0)
             lte = lte + jnp.where(ok[:, None], contrib_nee, 0.0)
 
-        if use_mis:
+        if use_mis and not mis_single:
             # ---- independent BSDF-branch trace (rt.h:382-420) ----
             # The branch hit is only USED when it's a light or a miss, so
             # instead of a full closest-hit kernel walk it decomposes
@@ -368,6 +416,13 @@ def wavefront_render(
         new_thr = jnp.where(continuing[:, None], thr * weight, thr)
         new_o = jnp.where(continuing[:, None], hit.position, c.o)
         new_d = jnp.where(continuing[:, None], wi, c.d)
+        if mis_single:
+            # refilled lanes restart at depth 0, so `first` gates their
+            # weight to 1 next iteration regardless of these values
+            prev_pdf2 = jnp.where(continuing, pdf, c.prev_pdf)
+            prev_spec2 = jnp.where(continuing, hit.is_specular, c.prev_spec)
+        else:
+            prev_pdf2, prev_spec2 = c.prev_pdf, c.prev_spec
 
         # ---- film accumulation for finished lanes (ONE packed scatter) ----
         donef = done[:, None]
@@ -421,7 +476,7 @@ def wavefront_render(
                 s_nspp, s_scr, s_dep, s_img,
                 t0, t1, t2, l0, l1, l2,
                 a0, a1, a2, q0, q1, q2,
-                depth2, vi,
+                depth2, vi, prev_pdf2, psp,
             ) = bitonic_sort(
                 key,
                 pix, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
@@ -431,8 +486,10 @@ def wavefront_render(
                 aov_a2[:, 0], aov_a2[:, 1], aov_a2[:, 2],
                 aov_n2[:, 0], aov_n2[:, 1], aov_n2[:, 2],
                 depth2, valid2.astype(jnp.int32),
+                prev_pdf2, prev_spec2.astype(jnp.int32),
                 interpret=interp,
             )
+            prev_spec2 = psp != 0
             o = jnp.stack([ox, oy, oz], axis=1)
             d = jnp.stack([dx, dy, dz], axis=1)
             st2 = CMJState(n_spp=s_nspp, scramble=s_scr, depth=s_dep, image_idx=s_img)
@@ -459,6 +516,8 @@ def wavefront_render(
             depth=depth2,
             valid=valid2,
             it=c.it + 1,
+            prev_pdf=prev_pdf2,
+            prev_spec=prev_spec2,
         )
 
     out = jax.lax.while_loop(cond, body, carry0)

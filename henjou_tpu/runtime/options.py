@@ -73,6 +73,12 @@ class RenderOption:
     # auto -> wavefront on TPU (3.2x the masked loop's honest Mrays/s,
     # pixel-exact), masked on CPU (fast compile for tests/tools)
     engine: str = "auto"  # auto | masked (depth loop) | wavefront (refill)
+    # MIS estimator: "single" = one-sample (shared BSDF draw; the path
+    # continuation IS the MIS branch, deleting one any-hit kernel walk
+    # and one BSDF draw per bounce — same integral, standard Veach MIS);
+    # "ref" = the reference's two-sample form (rt.h:284-440), used by
+    # the estimator-parity tests
+    mis_mode: str = "single"
 
 
 def _load_fps_txt(path: str):
@@ -159,4 +165,5 @@ def load_render_option(filepath: str) -> RenderOption:
         seed=int(j.get("TPU", {}).get("seed", 0)),
         integrator=str(j.get("TPU", {}).get("integrator", "mis")),
         engine=str(j.get("TPU", {}).get("engine", "auto")),
+        mis_mode=str(j.get("TPU", {}).get("mis_mode", "single")),
     )

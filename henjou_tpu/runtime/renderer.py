@@ -676,9 +676,18 @@ class Renderer:
         # The LightAccel is a pytree passed as a jit ARG, so animated
         # frames refresh it (rebuilt with the main accel cache) without
         # retracing the engine.
+        # one-sample MIS (options.mis_mode="single", the default): the
+        # path continuation doubles as the MIS branch, so no per-bounce
+        # light query or branch occlusion trace exists at all
+        mis_single = integrator == "mis" and opt.mis_mode != "ref"
+
         light_accel = None
         n_lights = int(self.device_scene.num_lights)
-        if integrator == "mis" and n_lights > self.BINNED_LIGHT_THRESHOLD:
+        if (
+            integrator == "mis"
+            and not mis_single
+            and n_lights > self.BINNED_LIGHT_THRESHOLD
+        ):
             from henjou_tpu.sampling.light_sample import build_light_accel
 
             la_cache = getattr(self, "_light_accel_cache", None)
@@ -711,7 +720,7 @@ class Renderer:
                 type(accel).__name__,
                 getattr(accel, "num_super", 0),
                 getattr(accel, "num_clusters", 0),
-                light_accel is not None,
+                light_accel is not None, mis_single,
             )
             cache = getattr(self, "_wf_cache", {})
             if cache.get("key") != wf_key:
@@ -738,7 +747,7 @@ class Renderer:
                         integrator=integrator, seed=seed, lanes=lanes,
                         intersect_fn=ifn, occluded_fn=ofn,
                         spp_offset=spp_offset, pool_key_fn=pool_key,
-                        light_isect_fn=lfn,
+                        light_isect_fn=lfn, mis_single=mis_single,
                         pixel_base=pixel_base, pixel_count=pixel_count,
                     )
 
@@ -761,7 +770,7 @@ class Renderer:
                     bsdf_eval=bsdf_eval, bsdf_pdf=bsdf_pdf,
                     integrator=integrator, seed=opt.seed + frame, lanes=lanes,
                     intersect_fn=intersect_fn, occluded_fn=occluded_fn,
-                    spp_offset=spp_offset,
+                    spp_offset=spp_offset, mis_single=mis_single,
                     pixel_base=jnp.uint32(base), pixel_count=count,
                 )
         if resume is not None:

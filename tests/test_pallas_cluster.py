@@ -324,3 +324,43 @@ def test_binned_subtile_sweep_interpret():
                 bc, o, d, 1e-3, interpret=True, subtiles=st, any_hit=True
             )
             assert (h_np == np.asarray(h_o)).all(), (bc.group, st)
+
+
+def test_pairs_matches_bruteforce():
+    """accel/pairs.py (the XLA pair-compacted alternate): exactness of the
+    top_k window + pair_cap clipping + residual sweeps, closest AND
+    any-hit, on a multi-cluster scene with a deliberately TIGHT top_k
+    window and pair budget so the residual-sweep machinery engages."""
+    from henjou_tpu.accel.pairs import intersect_pairs
+    from henjou_tpu.accel.pallas_binned import pack_binned_np
+
+    rng = np.random.default_rng(11)
+    t = 1400
+    c = rng.uniform(-3, 3, (t, 1, 3))
+    tris = jnp.asarray(
+        (c + rng.normal(scale=0.3, size=(t, 3, 3))).astype(np.float32)
+    )
+    bc = pack_binned_np(np.asarray(tris))
+    assert bc.num_clusters >= 8
+    n = 512
+    o = jnp.asarray(rng.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t_b, p_b, _, _, h_b = intersect_bruteforce(tris, o, d, 1e-3)
+    # kmax=4 < clusters and pair_mult=2: overflow + clipping both engage
+    t_p, p_p, _, _, h_p = intersect_pairs(
+        bc, o, d, 1e-3, kmax=4, pair_mult=2, max_sweeps=8
+    )
+    h_b = np.asarray(h_b)
+    assert (h_b == np.asarray(h_p)).all()
+    np.testing.assert_allclose(
+        np.asarray(t_p)[h_b], np.asarray(t_b)[h_b], rtol=1e-4
+    )
+    tmax = jnp.full((n,), 2.5, jnp.float32)
+    _, _, _, _, ha = intersect_pairs(
+        bc, o, d, 1e-3, tmax=tmax, any_hit=True, kmax=4, pair_mult=2,
+        max_sweeps=8,
+    )
+    _, _, _, _, hb2 = intersect_bruteforce(tris, o, d, 1e-3, tmax=tmax)
+    assert (np.asarray(ha) == np.asarray(hb2)).all()

@@ -131,9 +131,13 @@ def test_renderer_wavefront_engine_matches_masked():
     for integrator in ("pathtrace", "nee", "mis"):
         imgs = {}
         for engine in ("masked", "wavefront"):
+            # pixel-exactness is a claim about the REF estimator; the
+            # one-sample default (mis_mode="single") is wavefront-only
+            # and covered by test_mis_single_converges_to_ref_estimator
             r = Renderer(
                 option=dataclasses.replace(
-                    opt, engine=engine, integrator=integrator
+                    opt, engine=engine, integrator=integrator,
+                    mis_mode="ref",
                 )
             )
             r.set_scene(cornell_box_scene())
@@ -240,3 +244,44 @@ def test_wavefront_pixel_chunks_match_unchunked():
     # identical sample sets; only the film ADD ORDER differs (a pixel's
     # spp samples can land in different iterations), so exact to fp
     np.testing.assert_allclose(chunked, full, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_mis_single_converges_to_ref_estimator():
+    """One-sample MIS (mis_single=True: the path continuation doubles as
+    the MIS branch) is a different estimator of the SAME integral — the
+    images must agree within Monte-Carlo noise, measured against the
+    ref-estimator's own seed-to-seed noise floor, with fewer traces."""
+    from henjou_tpu.bsdf.dispatch import bsdf_eval, bsdf_pdf
+    from henjou_tpu.integrator.wavefront import wavefront_render
+
+    dev = build_device_scene(cornell_box_scene())
+    frame = build_frame_scene(dev)
+    sky = Sky(constant_color=jnp.zeros(3), intensity=jnp.asarray(0.0))
+    cam = make_camera((0, 1.0, 3.5), (0, 0, -1), np.radians(45.0))
+    w = h = 32
+    spp = 192
+    bsdf_sample = make_bsdf_sampler(None)
+    beval = lambda hit, wo, wi: bsdf_eval(hit, wo, wi, None)
+
+    def run(single, seed):
+        film = jax.jit(
+            lambda: wavefront_render(
+                frame, sky, cam, w, h, spp, bsdf_sample, bsdf_eval=beval,
+                bsdf_pdf=bsdf_pdf, integrator="mis", seed=seed,
+                lanes=1 << 12, mis_single=single,
+            )
+        )()
+        return np.asarray(film.color) / spp, float(film.n_traces)
+
+    ref, tr_ref = run(False, 7)
+    sgl, tr_sgl = run(True, 7)
+    ref2, _ = run(False, 99)
+
+    noise_floor = np.abs(ref2 - ref).mean()
+    est_diff = np.abs(sgl - ref).mean()
+    # same integral: estimator difference is noise-sized, means agree
+    assert est_diff < 2.5 * noise_floor
+    assert abs(sgl.mean() - ref.mean()) / ref.mean() < 0.02
+    # and it must actually be cheaper: no branch-occlusion traces
+    assert tr_sgl < 0.85 * tr_ref

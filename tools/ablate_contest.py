@@ -59,7 +59,7 @@ def main():
     def fake_ofn(tri_verts, o, d, tmin, tmax):
         return jnp.zeros((o.shape[0],), bool) | (o[:, 0] < -1e30)
 
-    def make(kind, subtiles=0):
+    def make(kind, subtiles=0, mis_single=False):
         ifn, ofn = make_binned_intersector(pc, subtiles=subtiles)
         sifn, sofn = make_bitonic_sorted_intersector(
             ifn, ofn, pc.scene_lo, pc.scene_hi
@@ -77,6 +77,7 @@ def main():
                     bsdf_pdf=bsdf_pdf, integrator="mis", seed=7,
                     lanes=1 << 16, max_depth=10, intersect_fn=sifn,
                     occluded_fn=sofn, max_iters=n_it,
+                    mis_single=mis_single,
                     # mid-image chunk: base=0 is the sky-only top band
                     # (paths die at depth 1 -> 1.8 ms/iter, useless)
                     pixel_base=jnp.uint32(4 * 262144),
@@ -86,27 +87,43 @@ def main():
 
         return run
 
-    def marginal(name, kind, subtiles=0):
-        mk = make(kind, subtiles)
-        t = {}
+    def marginal(name, kind, subtiles=0, mis_single=False):
+        mk = make(kind, subtiles, mis_single)
+        t, tr = {}, {}
         for it in (60, 120):
             r = mk(it)
             out = r()
             jax.block_until_ready(out.color)
+            tr[it] = float(out.n_traces)
             t0 = time.perf_counter()
             for _ in range(2):
                 out = r()
             jax.block_until_ready(out.color)
             t[it] = (time.perf_counter() - t0) / 2
         ms = (t[120] - t[60]) / 60 * 1e3
-        print(f"{name:24s} {ms:8.2f} ms/iter", flush=True)
+        ktr = (tr[120] - tr[60]) / 60 / 1e3
+        print(f"{name:24s} {ms:8.2f} ms/iter  {ktr:6.1f} ktraces/iter "
+              f"({ktr / ms:5.2f} Mrays/s)", flush=True)
         return ms
 
-    marginal("full (subt=auto4)", "full")
-    marginal("subt=1", "full", subtiles=1)
-    marginal("subt=8", "full", subtiles=8)
-    marginal("fake-isect", "fake-isect")
-    marginal("fake-occl", "fake-occl")
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    todo = {
+        "full": lambda: marginal("full (subt=auto4)", "full"),
+        "mis-single": lambda: marginal("mis-single", "full", mis_single=True),
+        "subt1": lambda: marginal("subt=1", "full", subtiles=1),
+        "subt8": lambda: marginal("subt=8", "full", subtiles=8),
+        "fake-isect": lambda: marginal("fake-isect", "fake-isect"),
+        "fake-occl": lambda: marginal("fake-occl", "fake-occl"),
+        "single-fake-occl": lambda: marginal(
+            "single-fake-occl", "fake-occl", mis_single=True
+        ),
+    }
+    if only:
+        for k in only.split(","):
+            todo[k]()
+    else:
+        for f in todo.values():
+            f()
 
 
 if __name__ == "__main__":
