@@ -77,7 +77,8 @@ class RenderOption:
     # continuation IS the MIS branch, deleting one any-hit kernel walk
     # and one BSDF draw per bounce — same integral, standard Veach MIS);
     # "ref" = the reference's two-sample form (rt.h:284-440), used by
-    # the estimator-parity tests
+    # the estimator-parity tests. Wavefront engine only: the masked
+    # depth-loop engine always renders the ref form.
     mis_mode: str = "single"
 
 

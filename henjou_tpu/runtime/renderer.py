@@ -807,8 +807,10 @@ class Renderer:
                 break
         render_s = time.monotonic() - t0
         log.info(
-            "frame %d wavefront: %.2fs (%d spp, %.1f Mtraces, %.1f Mrays/s)",
-            frame, render_s, spp_done, traces / 1e6,
+            "frame %d wavefront[%s]: %.2fs (%d spp, %.1f Mtraces, "
+            "%.1f Mrays/s)",
+            frame, opt.mis_mode if integrator == "mis" else integrator,
+            render_s, spp_done, traces / 1e6,
             traces / max(render_s, 1e-9) / 1e6,
         )
         inv = 1.0 / max(spp_done, 1)
