@@ -1,5 +1,11 @@
 """Pair-compacted intersector: exact (ray, cluster) pairs, traced densely.
 
+ARCHIVE — measured dead on this platform, not routed in production
+(BASELINE.md round-3: contest closest 506 ms vs binned 47.4 ms; the
+per-pair row re-gather and the compaction primitives each rival the
+whole binned kernel). Kept as a tested ledger receipt; the production
+kernel is accel/pallas_binned.py.
+
 The binned kernel (pallas_binned.py) culls at 64-ray-subtile granularity:
 on contest-scale bounce rays each 64-ray union needs ~294 of 1,991
 clusters while each individual RAY's slab test passes only ~7.3
@@ -86,12 +92,19 @@ def _compact_pairs(bc, o, d, tmin, tmax, kmax, pair_cap, lo_t, lo_cid):
     far-edge cursor (inf when unfilled), clipped marks rays whose pairs
     fell beyond pair_cap (their window was NOT evaluated)."""
     r = o.shape[0]
+    ctot = bc.num_groups * bc.group
     amin, amax = bc.aabb[0:3], bc.aabb[3:6]
     ids_l, cnt_l, kth_l = [], [], []
     for s in range(0, r, RB):
         e = min(s + RB, r)
         tn, need = _slab_chunk(amin, amax, o[s:e], d[s:e], tmin[s:e], tmax[s:e])
         cid_row = jnp.arange(tn.shape[1], dtype=jnp.int32)[None, :]
+        # pad AABB columns (inverted boxes min=_BIG/max=-_BIG) slab-test
+        # as INFINITE boxes because the per-axis min/max re-sorts the
+        # slabs — mask them explicitly so correctness doesn't ride on
+        # out-of-bounds gather clamping and phantom clusters don't crowd
+        # the top_k window / pair cap
+        need = need & (cid_row < ctot)
         need = need & (
             (tn > lo_t[s:e, None])
             | ((tn == lo_t[s:e, None]) & (cid_row > lo_cid[s:e, None]))
@@ -182,6 +195,7 @@ def intersect_pairs(
     kmax: int = 128,
     pair_mult: int = 12,
     max_sweeps: int = 4,
+    with_residual: bool = False,
 ):
     """Same contract as intersect_binned (unit-length directions).
 
@@ -189,7 +203,12 @@ def intersect_pairs(
     pair_mult: pair_cap = R * pair_mult — the static dense-work bound
       per sweep. Rays clipped by it are finished on later sweeps.
     max_sweeps: residual-sweep bound (first sweep + up to max_sweeps-1
-      residuals)."""
+      residuals).
+    with_residual: append a scalar bool to the return tuple — True when
+      max_sweeps was exhausted with over/clipped rays remaining, i.e.
+      the result may be missing hits beyond the processed window.
+      Callers that care about exact completion should check it instead
+      of relying on per-scene kmax/pair_mult tuning."""
     r = ray_o.shape[0]
     ctot = bc.num_groups * bc.group
     kmax = min(kmax, ctot)
@@ -256,32 +275,34 @@ def intersect_pairs(
         bt, lo_t, lo_c, wcid, _, i = st
         return sweep(bt, lo_t, lo_c, wcid) + (i + 1,)
 
-    bt, _, _, wcid, _, _ = jax.lax.while_loop(
+    bt, _, _, wcid, more_f, _ = jax.lax.while_loop(
         cond, body, (bt, lo_t, lo_c, wcid, more, jnp.int32(1))
     )
 
     if any_hit:
         # bt==tmin marks occlusion, but dead rays (tmax<=tmin) START there
         hit = (bt <= tmin) & (bt0 > tmin)
-        return (
+        out = (
             jnp.where(hit, tmin, jnp.inf),
             jnp.where(hit, 1, -1),
             jnp.zeros((r,)),
             jnp.zeros((r,)),
             hit,
         )
+        return out + (more_f,) if with_residual else out
 
     is_hit = (bt < bt0) & (wcid >= 0)
     prim, u, v = _pair_pass_b(
         rows3, jnp.maximum(wcid, 0), ray_o, ray_d, tmin, bt
     )
-    return (
+    out = (
         jnp.where(is_hit, bt, jnp.inf),
         jnp.where(is_hit, prim, -1),
         jnp.where(is_hit, u, 0.0),
         jnp.where(is_hit, v, 0.0),
         is_hit,
     )
+    return out + (more_f,) if with_residual else out
 
 
 def make_pairs_intersector(bc: BinnedClusters, kmax: int = 128,

@@ -1,5 +1,9 @@
 """Pallas TPU kernel: fused packet/cluster ray intersection.
 
+ARCHIVE — superseded generation (round 1), not routed in production.
+Still imported for its K/_BIG constants and exercised by slow-lane
+parity tests; the production kernel is accel/pallas_binned.py.
+
 The hot op of the renderer (the optixTrace analogue) as a single fused
 TPU kernel. The XLA-level cluster scan (accel/cluster.py) pays an HBM
 round-trip per round; here the whole cluster set lives on-chip and a ray

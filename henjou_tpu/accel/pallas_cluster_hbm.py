@@ -1,5 +1,10 @@
 """HBM-resident, two-level Pallas packet/cluster intersector.
 
+ARCHIVE — superseded generation (round 1 end-state, 4.3 Mrays/s raw),
+not routed in production. Still imported for its SC constant and
+exercised by slow-lane parity tests; the production kernel is
+accel/pallas_binned.py (BASELINE.md round-2 progression).
+
 Scales the packet/cluster design (accel/pallas_cluster.py) past the VMEM
 budget AND past the flat cluster scan's O(C) per-tile slab cost:
 

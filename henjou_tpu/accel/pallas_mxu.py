@@ -1,5 +1,10 @@
 """MXU-based two-level Pallas intersector.
 
+ARCHIVE — measured dead, not routed in production (see BASELINE.md
+round-2: 70.6 vs 62.7 ms; K=16-of-128 contraction padding x multipass
+f32 x 4x DMA cancel the MXU rate). Kept as a tested ledger receipt; the
+production kernel is accel/pallas_binned.py.
+
 The VPU Möller-Trumbore in accel/pallas_cluster_hbm.py measures ~0.6
 TFLOP/s effective — the elementwise cross/dot products don't feed the
 systolic array at all. This kernel moves the four MT numerators onto the

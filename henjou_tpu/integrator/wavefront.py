@@ -32,7 +32,17 @@ the bounded branch occlusion query (one of the two any-hit kernel walks
 — ~half the occlusion cost of a contest-scale iteration) and one of the
 two BSDF draws. Same integral, standard Veach one-sample MIS; images
 agree with the reference estimator in the Monte-Carlo-noise sense, not
-pixel-exactly (tests/test_wavefront.py::test_mis_single_converges)."""
+pixel-exactly (tests/test_wavefront.py::test_mis_single_converges).
+
+Finite-depth parity: the ref two-sample form's BSDF-branch trace at the
+FINAL bounce (depth max_depth-1) still collects light emission along the
+last BSDF draw (rt.h:396-416). The one-sample form collects that term at
+the next radiance hit, so paths get one extra EMISSION-ONLY segment at
+depth == max_depth: a radiance trace that only gathers the pending
+balance-weighted emission — no NEE, no continuation. Russian roulette
+still applies to that segment (throughput-compensated, so unbiased);
+without the segment the estimator was systematically dimmer at finite
+max_depth (round-3 VERDICT weak #4)."""
 
 from __future__ import annotations
 
@@ -140,9 +150,13 @@ def wavefront_render(
     n_pixels = pixel_count if pixel_count is not None else width * height
     pbase_u = jnp.asarray(pixel_base).astype(jnp.uint32)
     total_samples = n_pixels * spp
+    # one-sample MIS paths carry one extra EMISSION-ONLY segment at
+    # depth == max_depth (see module docstring: finite-depth parity with
+    # the ref form's final-bounce branch trace)
+    depth_cap = max_depth + 1 if mis_single else max_depth
     if max_iters is None:
         # enough bounces to drain everything even if all paths run full depth
-        max_iters = (total_samples // lanes + 2) * max_depth + max_depth
+        max_iters = (total_samples // lanes + 2) * depth_cap + depth_cap
 
     # varying zeros derived from spp_offset: under shard_map the offset is
     # per-device, so every loop carry must share its varying axes (see
@@ -283,6 +297,14 @@ def wavefront_render(
                 emit_gate[:, None], thr * hit.emission, 0.0
             )
         alive = alive & ~terminal
+        # emission-only segment (mis_single, depth == max_depth): the
+        # lane exists solely to collect the weighted emission above —
+        # no NEE vertex, no continuation (the ref form's final bounce
+        # does no NEE beyond depth max_depth-1 either)
+        if mis_single:
+            emit_seg = c.depth >= max_depth
+        else:
+            emit_seg = jnp.zeros_like(alive)
 
         n = hit.normal
         t, b = orthonormal_basis(n)
@@ -300,15 +322,13 @@ def wavefront_render(
             # the delta lobe's 0, glass.py:77-79), so their shadow rays
             # are zero-width — the sort wrapper sinks them and the
             # kernel's prepass culls their tiles outright
+            nee_live = alive & ~hit.is_specular & ~emit_seg
             shadow_blocked = occluded(
                 frame, hit.position, l_dir, eps_r,
-                jnp.where(
-                    alive & ~hit.is_specular,
-                    l_dist * (1.0 - SHADOW_EPS_REL), 0.0,
-                ),
+                jnp.where(nee_live, l_dist * (1.0 - SHADOW_EPS_REL), 0.0),
                 occluded_fn,
             )
-            n_tr = n_tr + jnp.sum((alive & ~hit.is_specular).astype(jnp.float32))
+            n_tr = n_tr + jnp.sum(nee_live.astype(jnp.float32))
             cos1 = absdot(n, l_dir)
             cos2 = absdot(l_normal, -l_dir)
             local_wi_l = world_to_local(l_dir, t, n, b)
@@ -325,7 +345,7 @@ def wavefront_render(
                 * (g * cos1 / jnp.maximum(l_pdf, 1e-12) * w_light)[:, None]
                 * l_emission
             )
-            ok = alive & l_valid & ~shadow_blocked & (l_pdf > 0.0)
+            ok = alive & ~emit_seg & l_valid & ~shadow_blocked & (l_pdf > 0.0)
             lte = lte + jnp.where(ok[:, None], contrib_nee, 0.0)
 
         if use_mis and not mis_single:
@@ -410,7 +430,7 @@ def wavefront_render(
         weight = bsdf * (jnp.abs(dot(wi, n)) / jnp.maximum(pdf, 1e-12))[:, None]
 
         depth = c.depth + 1
-        done = c.valid & (~survive | terminal | (depth >= max_depth))
+        done = c.valid & (~survive | terminal | (depth >= depth_cap))
         continuing = c.valid & ~done
 
         new_thr = jnp.where(continuing[:, None], thr * weight, thr)

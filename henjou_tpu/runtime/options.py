@@ -125,6 +125,25 @@ def load_render_option(filepath: str) -> RenderOption:
             fps = override
             break
 
+    # TPU-section enums: fail loudly on typos ("reference", "two-sample",
+    # "wave" ...) instead of silently selecting a default estimator/engine
+    tpu = j.get("TPU", {})
+    mis_mode = str(tpu.get("mis_mode", "single"))
+    if mis_mode not in ("single", "ref"):
+        raise ValueError(
+            f"TPU.mis_mode must be 'single' or 'ref', got {mis_mode!r}"
+        )
+    engine = str(tpu.get("engine", "auto"))
+    if engine not in ("auto", "masked", "wavefront"):
+        raise ValueError(
+            f"TPU.engine must be auto|masked|wavefront, got {engine!r}"
+        )
+    integrator = str(tpu.get("integrator", "mis"))
+    if integrator not in ("pathtrace", "nee", "mis"):
+        raise ValueError(
+            f"TPU.integrator must be pathtrace|nee|mis, got {integrator!r}"
+        )
+
     # config snapshot side-channel (render_json_loader.h:204-218)
     if bool(opt.get("save_renderOption", False)):
         import time as _time
@@ -162,9 +181,9 @@ def load_render_option(filepath: str) -> RenderOption:
         use_date=bool(opt.get("use_date", False)),
         save_render_option=bool(opt.get("save_renderOption", False)),
         lut_path=str(j.get("LUT", {}).get("LUT_path", "")),
-        spp_batch=int(j.get("TPU", {}).get("spp_batch", 16)),
-        seed=int(j.get("TPU", {}).get("seed", 0)),
-        integrator=str(j.get("TPU", {}).get("integrator", "mis")),
-        engine=str(j.get("TPU", {}).get("engine", "auto")),
-        mis_mode=str(j.get("TPU", {}).get("mis_mode", "single")),
+        spp_batch=int(tpu.get("spp_batch", 16)),
+        seed=int(tpu.get("seed", 0)),
+        integrator=integrator,
+        engine=engine,
+        mis_mode=mis_mode,
     )

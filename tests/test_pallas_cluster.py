@@ -326,6 +326,7 @@ def test_binned_subtile_sweep_interpret():
             assert (h_np == np.asarray(h_o)).all(), (bc.group, st)
 
 
+@pytest.mark.slow
 def test_pairs_matches_bruteforce():
     """accel/pairs.py (the XLA pair-compacted alternate): exactness of the
     top_k window + pair_cap clipping + residual sweeps, closest AND
@@ -364,3 +365,15 @@ def test_pairs_matches_bruteforce():
     )
     _, _, _, _, hb2 = intersect_bruteforce(tris, o, d, 1e-3, tmax=tmax)
     assert (np.asarray(ha) == np.asarray(hb2)).all()
+    # residual-overflow flag: a starved sweep budget reports inexact
+    # completion; the full budget reports clean completion
+    *_, res_tight = intersect_pairs(
+        bc, o, d, 1e-3, kmax=4, pair_mult=2, max_sweeps=1,
+        with_residual=True,
+    )
+    assert bool(res_tight)
+    *_, res_full = intersect_pairs(
+        bc, o, d, 1e-3, kmax=4, pair_mult=2, max_sweeps=8,
+        with_residual=True,
+    )
+    assert not bool(res_full)

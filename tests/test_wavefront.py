@@ -285,3 +285,43 @@ def test_mis_single_converges_to_ref_estimator():
     assert abs(sgl.mean() - ref.mean()) / ref.mean() < 0.02
     # and it must actually be cheaper: no branch-occlusion traces
     assert tr_sgl < 0.85 * tr_ref
+
+
+@pytest.mark.slow
+def test_mis_single_finite_depth_parity():
+    """At a SHALLOW max_depth the ref two-sample form's final-bounce
+    branch trace still collects light emission (rt.h:396-416); without
+    the emission-only segment the one-sample form dropped that term and
+    rendered systematically dimmer. With the segment, means agree at
+    max_depth=2 where the missing term is a large fraction of indirect
+    light (round-3 VERDICT weak #4 / next-round ask #6)."""
+    from henjou_tpu.bsdf.dispatch import bsdf_eval, bsdf_pdf
+    from henjou_tpu.integrator.wavefront import wavefront_render
+
+    dev = build_device_scene(cornell_box_scene())
+    frame = build_frame_scene(dev)
+    sky = Sky(constant_color=jnp.zeros(3), intensity=jnp.asarray(0.0))
+    cam = make_camera((0, 1.0, 3.5), (0, 0, -1), np.radians(45.0))
+    w = h = 24
+    spp = 256
+    bsdf_sample = make_bsdf_sampler(None)
+    beval = lambda hit, wo, wi: bsdf_eval(hit, wo, wi, None)
+
+    def run(single, seed):
+        film = jax.jit(
+            lambda: wavefront_render(
+                frame, sky, cam, w, h, spp, bsdf_sample, bsdf_eval=beval,
+                bsdf_pdf=bsdf_pdf, integrator="mis", seed=seed,
+                lanes=1 << 12, max_depth=2, mis_single=single,
+            )
+        )()
+        return np.asarray(film.color) / spp
+
+    ref = run(False, 7)
+    sgl = run(True, 7)
+    ref2 = run(False, 99)
+
+    noise = abs(ref2.mean() - ref.mean()) / ref.mean()
+    # estimator means agree to well within a few noise floors; the old
+    # truncated form sat several percent dim at this depth
+    assert abs(sgl.mean() - ref.mean()) / ref.mean() < max(3 * noise, 0.02)
