@@ -65,9 +65,13 @@ class BinnedClusters:
     num_clusters: int = dataclasses.field(metadata=dict(static=True))
     group: int = dataclasses.field(metadata=dict(static=True))  # clusters/entry
     num_groups: int = dataclasses.field(metadata=dict(static=True))
+    # triangles per leaf cluster (MT block minor width). 128 = one full
+    # f32 lane tile; 64 half-fills the vector lanes, 256 spans two tiles
+    # (K-sweep measured in BASELINE.md round-4)
+    k: int = dataclasses.field(default=K, metadata=dict(static=True))
 
 
-def _median_split_order(centroids: np.ndarray) -> np.ndarray:
+def _median_split_order(centroids: np.ndarray, k: int = K) -> np.ndarray:
     """Top-down median-split ordering: recursively split along the widest
     centroid axis, keeping every left part a multiple of K so consecutive
     K-chunks of the output ARE the tree's leaves. Leaves come out far
@@ -79,13 +83,13 @@ def _median_split_order(centroids: np.ndarray) -> np.ndarray:
     stack = [np.arange(t)]
     while stack:
         s = stack.pop()
-        if len(s) <= K:
+        if len(s) <= k:
             out[pos : pos + len(s)] = s
             pos += len(s)
             continue
         c = centroids[s]
         ax = int((c.max(axis=0) - c.min(axis=0)).argmax())
-        m = max(K, (len(s) // 2 // K) * K)
+        m = max(k, (len(s) // 2 // k) * k)
         part = np.argsort(c[:, ax], kind="stable")
         stack.append(s[part[m:]])
         stack.append(s[part[:m]])
@@ -117,7 +121,7 @@ def _baldwin_rows_np(v0, e1, e2):
     return n, d, g1, h1, g2, h2
 
 
-def pack_binned_np(tri_verts) -> BinnedClusters:
+def pack_binned_np(tri_verts, k: int = K) -> BinnedClusters:
     """Host-side numpy build: median-split triangles into K-wide leaf
     clusters, fold the original-id plane into the DMA rows (plane 12),
     and union group AABBs. Rows carry the Baldwin-Weber transform
@@ -127,10 +131,10 @@ def pack_binned_np(tri_verts) -> BinnedClusters:
     tv = np.asarray(tri_verts, np.float32)
     t = tv.shape[0]
     centroids = tv.mean(axis=1)
-    order = _median_split_order(centroids)
+    order = _median_split_order(centroids, k)
 
-    pad = (-t) % K
-    c = (t + pad) // K
+    pad = (-t) % k
+    c = (t + pad) // k
     group = 1 if c <= MAX_FINE_CLUSTERS else SC
     # the per-tile worklist prefetch operand is [tiles, num_groups] in
     # SMEM: at ~1M tris (7.8k clusters) group=16 leaves 488 groups ->
@@ -143,20 +147,20 @@ def pack_binned_np(tri_verts) -> BinnedClusters:
     g = (c + group - 1) // group
     ctot = g * group
 
-    order_p = np.full(ctot * K, -1, np.int32)
+    order_p = np.full(ctot * k, -1, np.int32)
     order_p[:t] = order
-    verts = np.zeros((ctot * K, 3, 3), np.float32)
+    verts = np.zeros((ctot * k, 3, 3), np.float32)
     verts[:t] = tv[order]
 
     v0 = verts[:, 0]
     e1 = verts[:, 1] - verts[:, 0]
     e2 = verts[:, 2] - verts[:, 0]
 
-    valid = (order_p >= 0).reshape(ctot, K)
-    vmin = np.where(valid[..., None, None], verts.reshape(ctot, K, 3, 3), _BIG)
-    vmax = np.where(valid[..., None, None], verts.reshape(ctot, K, 3, 3), -_BIG)
-    amin = vmin.reshape(ctot, K * 3, 3).min(axis=1)
-    amax = vmax.reshape(ctot, K * 3, 3).max(axis=1)
+    valid = (order_p >= 0).reshape(ctot, k)
+    vmin = np.where(valid[..., None, None], verts.reshape(ctot, k, 3, 3), _BIG)
+    vmax = np.where(valid[..., None, None], verts.reshape(ctot, k, 3, 3), -_BIG)
+    amin = vmin.reshape(ctot, k * 3, 3).min(axis=1)
+    amax = vmax.reshape(ctot, k * 3, 3).max(axis=1)
 
     cp = max(8, int(np.ceil(ctot / 8) * 8))
     aabb = np.full((8, cp), _BIG, np.float32)
@@ -173,14 +177,14 @@ def pack_binned_np(tri_verts) -> BinnedClusters:
     gaabb[3:6, g:] = -_BIG
 
     nrm, dpl, g1, h1, g2, h2 = _baldwin_rows_np(v0, e1, e2)
-    rows = np.zeros((ctot, 16, K), np.float32)
+    rows = np.zeros((ctot, 16, k), np.float32)
     comps = [nrm[:, 0], nrm[:, 1], nrm[:, 2], dpl,
              g1[:, 0], g1[:, 1], g1[:, 2], h1,
              g2[:, 0], g2[:, 1], g2[:, 2], h2]
     for i, comp in enumerate(comps):
-        rows[:, i, :] = comp.reshape(ctot, K)
-    rows[:, 12, :] = order_p.reshape(ctot, K).view(np.float32)
-    rows = rows.reshape(-1, K)
+        rows[:, i, :] = comp.reshape(ctot, k)
+    rows[:, 12, :] = order_p.reshape(ctot, k).view(np.float32)
+    rows = rows.reshape(-1, k)
 
     return BinnedClusters(
         rows=jnp.asarray(rows),
@@ -191,6 +195,7 @@ def pack_binned_np(tri_verts) -> BinnedClusters:
         num_clusters=c,
         group=group,
         num_groups=g,
+        k=k,
     )
 
 
@@ -227,6 +232,8 @@ def plan_binned_order(tri_verts, geom_ranges=None):
     order = np.concatenate(order_chunks) if order_chunks else np.zeros(0, np.int32)
     c = len(order) // K
     group = 1 if c <= MAX_FINE_CLUSTERS else SC
+    while group > 1 and group < 64 and (c + group - 1) // group > MAX_GROUPS:
+        group *= 2
     g = (c + group - 1) // group
     ctot = g * group
     if ctot * K > len(order):
@@ -846,7 +853,7 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
                 # staging + semaphores exist (unused) in vmem_rows mode
                 # too: keeps the kernel signature static
                 pltpu.VMEM(
-                    (2, 16 if vmem_rows else bc.group * 16, K), jnp.float32
+                    (2, 16 if vmem_rows else bc.group * 16, bc.k), jnp.float32
                 ),
                 pltpu.SemaphoreType.DMA((2,)),
             ]

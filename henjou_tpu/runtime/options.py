@@ -80,6 +80,12 @@ class RenderOption:
     # the estimator-parity tests. Wavefront engine only: the masked
     # depth-loop engine always renders the ref form.
     mis_mode: str = "single"
+    # adaptive per-pixel sample allocation (wavefront engine only): after
+    # a uniform warm-up batch, each batch's sample budget is drawn
+    # proportional to the per-pixel relative-variance estimate. Unbiased
+    # per pixel (every pixel divides by its own count); the reference
+    # brute-forces uniform max_spp instead (renderer.h:1183,1241).
+    adaptive: bool = True
 
 
 def _load_fps_txt(path: str):
@@ -186,4 +192,5 @@ def load_render_option(filepath: str) -> RenderOption:
         integrator=integrator,
         engine=engine,
         mis_mode=mis_mode,
+        adaptive=bool(tpu.get("adaptive", True)),
     )

@@ -78,6 +78,35 @@ def _pixel_chunks(n_pixels: int, chunk_max: int):
     ]
 
 
+def _adaptive_allocation(
+    budget: int, color_sum: np.ndarray, m2: np.ndarray, cnt: np.ndarray
+) -> np.ndarray:
+    """Per-pixel sample counts for the next batch, proportional to the
+    relative-standard-deviation estimate sqrt(var)/(mean + eps) from the
+    samples so far (optimal allocation for fixed total budget puts
+    n_p ~ sigma_p; the relative form targets display-referred error).
+    Weights are floored at 5% of the mean (converged pixels keep getting
+    occasional samples, so their variance estimate stays live) and capped
+    at 20x (a firefly pixel can't eat the whole budget). floor() keeps
+    sum(a) <= budget — the engine's static sample list is budget-sized.
+
+    The reference has no analogue (uniform max_spp, renderer.h:1183);
+    allocation uses only PREVIOUS batches' samples, and every pixel is
+    normalized by its own count, so each pixel's estimate stays the
+    plain mean of i.i.d. samples."""
+    n = np.maximum(cnt, 1.0)
+    mu = (
+        0.2126 * color_sum[:, 0]
+        + 0.7152 * color_sum[:, 1]
+        + 0.0722 * color_sum[:, 2]
+    ) / n
+    var = np.maximum(m2 / n - mu * mu, 0.0)
+    w = np.sqrt(var) / (np.abs(mu) + 0.05)
+    wm = max(float(w.mean()), 1e-12)
+    w = np.clip(w, 0.05 * wm, 20.0 * wm)
+    return np.floor(budget * w / w.sum()).astype(np.int32)
+
+
 class Renderer:
     def __init__(
         self,
@@ -534,6 +563,8 @@ class Renderer:
         color = np.zeros((n, 3), np.float32)
         albedo = np.zeros((n, 3), np.float32)
         normal = np.zeros((n, 3), np.float32)
+        m2 = np.zeros((n,), np.float32)
+        cnt = np.zeros((n,), np.float32)
 
         spp_done = 0
         if checkpoint_path and os.path.exists(checkpoint_path):
@@ -541,6 +572,11 @@ class Renderer:
             if int(ck["frame"]) == frame and ck["color"].shape == color.shape:
                 color, albedo, normal = ck["color"], ck["albedo"], ck["normal"]
                 spp_done = int(ck["spp_done"])
+                if "m2" in ck and ck["m2"].shape == m2.shape:
+                    m2, cnt = ck["m2"], ck["cnt"]
+                else:
+                    # pre-adaptive checkpoint: counts were uniform
+                    cnt = np.full((n,), spp_done, np.float32)
                 log.info("resumed frame %d at %d spp from %s", frame, spp_done, checkpoint_path)
 
         engine = self.option.engine
@@ -563,7 +599,7 @@ class Renderer:
             return self._render_frame_wavefront(
                 frame_scene, accel, cam, width, height, frame,
                 deadline=deadline, checkpoint_path=checkpoint_path,
-                resume=(color, albedo, normal, spp_done),
+                resume=(color, albedo, normal, m2, cnt, spp_done),
             )
 
         # Miscompile #1 is now narrowed (tools/repro_miscompile.py): only
@@ -726,6 +762,7 @@ class Renderer:
         # not per chunk.
         chunks = _pixel_chunks(n, self.FILM_CHUNK_PIXELS)
 
+        adaptive = bool(opt.adaptive)
         use_args = accel is not None  # see render_frame miscompile note
         if use_args:
             wf_key = (
@@ -733,7 +770,7 @@ class Renderer:
                 type(accel).__name__,
                 getattr(accel, "num_super", 0),
                 getattr(accel, "num_clusters", 0),
-                light_accel is not None, mis_single,
+                light_accel is not None, mis_single, adaptive,
             )
             cache = getattr(self, "_wf_cache", {})
             if cache.get("key") != wf_key:
@@ -742,7 +779,8 @@ class Renderer:
                 )
                 def wf_args(
                     frame_scene, accel, light_accel, cam, spp_offset, seed,
-                    pixel_base, spp: int, pixel_count: int,
+                    pixel_base, sample_counts, sample_base,
+                    spp: int, pixel_count: int,
                 ):
                     ifn, ofn, pool_key = Renderer._accel_adapters_wavefront(
                         accel, lanes
@@ -762,22 +800,26 @@ class Renderer:
                         spp_offset=spp_offset, pool_key_fn=pool_key,
                         light_isect_fn=lfn, mis_single=mis_single,
                         pixel_base=pixel_base, pixel_count=pixel_count,
+                        sample_counts=sample_counts,
+                        sample_base=sample_base,
                     )
 
                 cache = {"key": wf_key, "fn": wf_args}
                 self._wf_cache = cache
 
-            def wf_step(spp_offset, spp: int, base: int, count: int):
+            def wf_step(spp_offset, spp: int, base: int, count: int,
+                        counts=None, cbase=None):
                 return cache["fn"](
                     frame_scene, accel, light_accel, cam, spp_offset,
                     jnp.uint32(opt.seed + frame), jnp.uint32(base),
-                    spp=spp, pixel_count=count,
+                    counts, cbase, spp=spp, pixel_count=count,
                 )
         else:
             intersect_fn, occluded_fn = Renderer._accel_adapters(accel)
 
             @functools.partial(jax.jit, static_argnames=("spp", "count"))
-            def wf_step(spp_offset, spp: int, base=0, count: int = n):
+            def wf_step_j(spp_offset, counts, cbase, spp: int, count: int,
+                          base=0):
                 return wavefront_render(
                     frame_scene, sky, cam, width, height, spp, bsdf_sample,
                     bsdf_eval=bsdf_eval, bsdf_pdf=bsdf_pdf,
@@ -785,13 +827,23 @@ class Renderer:
                     intersect_fn=intersect_fn, occluded_fn=occluded_fn,
                     spp_offset=spp_offset, mis_single=mis_single,
                     pixel_base=jnp.uint32(base), pixel_count=count,
+                    sample_counts=counts, sample_base=cbase,
+                )
+
+            def wf_step(spp_offset, spp: int, base: int = 0,
+                        count: int = n, counts=None, cbase=None):
+                return wf_step_j(
+                    spp_offset, counts, cbase, spp=spp, count=count,
+                    base=base,
                 )
         if resume is not None:
-            color, albedo, normal, spp_done = resume
+            color, albedo, normal, m2, cnt, spp_done = resume
         else:
             color = np.zeros((n, 3), np.float32)
             albedo = np.zeros((n, 3), np.float32)
             normal = np.zeros((n, 3), np.float32)
+            m2 = np.zeros((n,), np.float32)
+            cnt = np.zeros((n,), np.float32)
             spp_done = 0
         traces = 0.0
         batch = max(1, opt.spp_batch)
@@ -799,10 +851,26 @@ class Renderer:
         while spp_done < opt.max_spp:
             cur = min(batch, opt.max_spp - spp_done)
             for base, count in chunks:
-                film = wf_step(jnp.uint32(spp_done), cur, base, count)
-                color[base : base + count] += np.asarray(film.color)
-                albedo[base : base + count] += np.asarray(film.albedo)
-                normal[base : base + count] += np.asarray(film.normal)
+                sl = slice(base, base + count)
+                counts = cbase = None
+                if adaptive:
+                    if spp_done > 0:
+                        a = _adaptive_allocation(
+                            count * cur, color[sl], m2[sl], cnt[sl]
+                        )
+                    else:
+                        # uniform warm-up batch (variance not yet known)
+                        a = np.full((count,), cur, np.int32)
+                    counts = jnp.asarray(a)
+                    cbase = jnp.asarray(cnt[sl].astype(np.int32))
+                film = wf_step(
+                    jnp.uint32(spp_done), cur, base, count, counts, cbase
+                )
+                color[sl] += np.asarray(film.color)
+                albedo[sl] += np.asarray(film.albedo)
+                normal[sl] += np.asarray(film.normal)
+                m2[sl] += np.asarray(film.m2)
+                cnt[sl] += np.asarray(film.count)
                 traces += float(film.n_traces)
             spp_done += cur
             if checkpoint_path:
@@ -810,6 +878,7 @@ class Renderer:
                     checkpoint_path + ".tmp.npz",
                     frame=frame, spp_done=spp_done,
                     color=color, albedo=albedo, normal=normal,
+                    m2=m2, cnt=cnt,
                 )
                 os.replace(checkpoint_path + ".tmp.npz", checkpoint_path)
             if deadline is not None and time.monotonic() - t0 > deadline:
@@ -820,17 +889,31 @@ class Renderer:
                 break
         render_s = time.monotonic() - t0
         log.info(
-            "frame %d wavefront[%s]: %.2fs (%d spp, %.1f Mtraces, "
+            "frame %d wavefront[%s%s]: %.2fs (%d spp budget, %.1f Mtraces, "
             "%.1f Mrays/s)",
             frame, opt.mis_mode if integrator == "mis" else integrator,
+            "+adaptive" if adaptive else "",
             render_s, spp_done, traces / 1e6,
             traces / max(render_s, 1e-9) / 1e6,
         )
-        inv = 1.0 / max(spp_done, 1)
+        # per-pixel normalization: with adaptive allocation each pixel
+        # divides by ITS OWN sample count (unbiased); uniform renders
+        # have cnt == spp_done everywhere
+        inv = (1.0 / np.maximum(cnt, 1.0))[:, None].astype(np.float32)
+        mu = color * inv
+        lum = (
+            0.2126 * mu[:, 0] + 0.7152 * mu[:, 1] + 0.0722 * mu[:, 2]
+        )
+        # variance OF THE MEAN (feeds the variance-guided denoiser)
+        var_mean = np.maximum(
+            m2 * inv[:, 0] - lum * lum, 0.0
+        ) * inv[:, 0]
         return {
-            "color": (color * inv).reshape(height, width, 3),
+            "color": mu.reshape(height, width, 3),
             "albedo": (albedo * inv).reshape(height, width, 3),
             "normal": (normal * inv).reshape(height, width, 3),
+            "variance": var_mean.reshape(height, width),
+            "count": cnt.reshape(height, width),
             "spp_done": spp_done,
         }
 

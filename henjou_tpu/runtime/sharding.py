@@ -89,7 +89,7 @@ def wavefront_sharded_step(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis),),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
         # Pallas kernels inside the per-device body (binned intersector,
         # bitonic sorts) produce ShapeDtypeStruct outputs without a vma
         # annotation; disable the varying-mesh-axes check rather than
@@ -103,7 +103,12 @@ def wavefront_sharded_step(
         albedo = jax.lax.psum(film.albedo, axis)
         normal = jax.lax.psum(film.normal, axis)
         traces = jax.lax.psum(film.n_traces, axis)
-        return color, albedo, normal, traces
+        # variance/count columns ride the same reduce (adaptive
+        # allocation and the variance-guided denoiser stay sharding-
+        # transparent: per-pixel sums are associative)
+        m2 = jax.lax.psum(film.m2, axis)
+        count = jax.lax.psum(film.count, axis)
+        return color, albedo, normal, traces, m2, count
 
     def run(spp_start):
         offsets = spp_start + spp_per_device * jnp.arange(n_dev, dtype=jnp.uint32)

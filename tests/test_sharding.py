@@ -99,7 +99,7 @@ def test_wavefront_sharded_matches_unsharded():
 
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
     step = wavefront_sharded_step(wf, mesh, spp_per_dev)
-    c8, a8, n8, tr8 = step(jnp.uint32(0))
+    c8, a8, n8, tr8, m2_8, cnt8 = step(jnp.uint32(0))
 
     ref = wavefront_render(
         frame, sky, cam, w, h, 8, bs,
@@ -110,6 +110,11 @@ def test_wavefront_sharded_matches_unsharded():
         np.asarray(c8), np.asarray(ref.color), rtol=1e-5, atol=1e-6
     )
     assert abs(float(tr8) - float(ref.n_traces)) < 1e-3
+    # variance/count film columns reduce identically over the mesh
+    np.testing.assert_allclose(
+        np.asarray(m2_8), np.asarray(ref.m2), rtol=1e-5, atol=1e-6
+    )
+    assert (np.asarray(cnt8) == np.asarray(ref.count)).all()
 
 
 @pytest.mark.slow

@@ -50,15 +50,21 @@ def main():
     subt = 0  # 0 = auto
     if "--subt" in sys.argv:
         subt = int(sys.argv[sys.argv.index("--subt") + 1])
+    kk = 128  # leaf width (K sweep, round-4 VERDICT #1b)
+    if "--k" in sys.argv:
+        kk = int(sys.argv[sys.argv.index("--k") + 1])
+    rt = 256
+    if "--rt" in sys.argv:
+        rt = int(sys.argv[sys.argv.index("--rt") + 1])
 
     scene = load_gltf(path)
     dev = build_device_scene(scene)
     frame = jax.jit(build_frame_scene)(dev, None, None)
     tv = np.asarray(frame.tri_verts)
     tv = tv[np.isfinite(tv).all(axis=(1, 2))]
-    bc = pack_binned_np(tv)
-    print(f"tris={tv.shape[0]} clusters={bc.num_clusters} group={bc.group}",
-          flush=True)
+    bc = pack_binned_np(tv, k=kk)
+    print(f"tris={tv.shape[0]} k={kk} clusters={bc.num_clusters} "
+          f"group={bc.group} rt={rt}", flush=True)
 
     rng = np.random.default_rng(7)
     tri = rng.integers(0, tv.shape[0], n)
@@ -99,7 +105,7 @@ def main():
     def timeit(label, any_hit, ablate):
         fn = jax.jit(lambda: intersect_binned(
             bc, oj, dj, 1e-3, any_hit=any_hit, ablate=ablate,
-            subtiles=subt)[0])
+            subtiles=subt, ray_tile=rt)[0])
         out = fn()
         jax.block_until_ready(out)
         t0 = time.perf_counter()
