@@ -85,6 +85,16 @@ def main():
             intersect_fn=intersect_fn, occluded_fn=occluded_fn,
         )
 
+    @jax.jit
+    def run_single():
+        return wavefront_render(
+            frame, sky, cam, width, height, spp, bs,
+            bsdf_eval=beval, bsdf_pdf=bsdf_pdf, integrator="mis",
+            seed=7, lanes=1 << 16, max_depth=max_depth,
+            intersect_fn=intersect_fn, occluded_fn=occluded_fn,
+            mis_single=True,
+        )
+
     # Ray accounting: the engine COUNTS its traces (radiance per live lane,
     # +shadow +bsdf-branch per shaded bounce — rt.h:304,356,396); the
     # reported Mrays/s is measured work, not an assumed average depth.
@@ -113,9 +123,102 @@ def main():
     )
     print(
         f"# config#2 detail: {spp_per_s:.3f} spp/s at 512x512, "
-        f"{total_traces/reps/1e6:.2f} Mtraces per {spp}spp pass",
+        f"{total_traces/reps/1e6:.2f} Mtraces per {spp}spp pass "
+        f"(ref two-sample estimator; series-comparable headline)",
         file=sys.stderr,
     )
+
+    # product-default estimator row (round-3 VERDICT ask #5): the same
+    # gallery workload under ONE-SAMPLE MIS (options.mis_mode="single")
+    film = run_single()
+    jax.block_until_ready(film.color)
+    t0 = time.perf_counter()
+    tr1 = 0.0
+    for _ in range(reps):
+        film = run_single()
+        tr1 += float(film.n_traces)
+    jax.block_until_ready(film.color)
+    dt1 = time.perf_counter() - t0
+    print(
+        f"# one-sample detail: {reps * spp / dt1:.3f} spp/s at 512x512, "
+        f"{tr1 / dt1 / 1e6:.2f} Mrays/s, "
+        f"{tr1/reps/1e6:.2f} Mtraces per {spp}spp pass",
+        file=sys.stderr,
+    )
+
+    # contest-scale rows (round-3 VERDICT ask #5): marginal mid-image
+    # iteration on the rtcamp scene (254,740 tris), both estimators —
+    # the regime where the real fight happens. Skippable for quick runs.
+    if os.environ.get("HENJOU_BENCH_CONTEST", "1") == "1":
+        try:
+            _contest_detail(reps=2)
+        except Exception as e:  # pragma: no cover - detail row best-effort
+            print(f"# contest detail unavailable: {e}", file=sys.stderr)
+
+
+def _contest_detail(reps: int = 2):
+    from henjou_tpu.accel.pallas_binned import (
+        make_binned_intersector,
+        pack_binned_np,
+    )
+    from henjou_tpu.accel.sorting import make_bitonic_sorted_intersector
+    from henjou_tpu.bsdf.dispatch import bsdf_eval, bsdf_pdf, make_bsdf_sampler
+    from henjou_tpu.integrator.payload import Sky
+    from henjou_tpu.integrator.wavefront import wavefront_render
+    from henjou_tpu.runtime.camera import make_camera
+    from henjou_tpu.scene.scenedata import build_device_scene, build_frame_scene
+    from henjou_tpu.scene.testscenes import rtcamp_scene
+
+    dev = build_device_scene(rtcamp_scene())
+    frame = jax.jit(build_frame_scene)(dev, None, None)
+    pc = pack_binned_np(np.asarray(frame.tri_verts))
+    sky = Sky(constant_color=jnp.asarray([0.3, 0.4, 0.55]),
+              intensity=jnp.asarray(1.0))
+    cam = make_camera((0.0, 6.0, -16.5), (0.0, -0.28, 1.0), np.radians(40.0))
+    bs = make_bsdf_sampler(None)
+    beval = lambda h, wo, wi: bsdf_eval(h, wo, wi, None)
+    ifn, ofn = make_binned_intersector(pc)
+    sifn, sofn = make_bitonic_sorted_intersector(
+        ifn, ofn, pc.scene_lo, pc.scene_hi
+    )
+
+    for single in (True, False):
+        def mk(n_it):
+            @jax.jit
+            def r():
+                return wavefront_render(
+                    frame, sky, cam, 1920, 1080, 16, bs, bsdf_eval=beval,
+                    bsdf_pdf=bsdf_pdf, integrator="mis", seed=7,
+                    lanes=1 << 16, max_depth=10, intersect_fn=sifn,
+                    occluded_fn=sofn, max_iters=n_it, mis_single=single,
+                    # mid-image chunk (pixel_base=0 is the sky-only band)
+                    pixel_base=jnp.uint32(4 * 262144),
+                    pixel_count=262144,
+                )
+            return r
+
+        t, tr, sm = {}, {}, {}
+        for it in (60, 120):
+            r = mk(it)
+            out = r()
+            jax.block_until_ready(out.color)
+            tr[it] = float(out.n_traces)
+            sm[it] = float(jnp.sum(out.count))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = r()
+            jax.block_until_ready(out.color)
+            t[it] = (time.perf_counter() - t0) / reps
+        ms = (t[120] - t[60]) / 60 * 1e3
+        ktr = (tr[120] - tr[60]) / 60 / 1e3
+        ksm = (sm[120] - sm[60]) / 60 / 1e3
+        tag = "one-sample" if single else "ref"
+        print(
+            f"# contest detail [{tag}]: {ms:.2f} ms/iter mid-chunk, "
+            f"{ktr / ms:.2f} Mrays/s, {ksm / ms:.1f} ksamples/s "
+            f"(254,740 tris @ 64k lanes)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

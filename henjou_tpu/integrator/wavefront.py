@@ -115,6 +115,7 @@ def wavefront_render(
     mis_single: bool = False,
     sample_counts: Optional[jnp.ndarray] = None,
     sample_base: Optional[jnp.ndarray] = None,
+    firefly_clamp: float = 0.0,
 ) -> WavefrontFilm:
     """Render width*height pixels at `spp` samples with a `lanes`-wide
     refilling pool. Returns per-pixel SUMS (divide by spp outside).
@@ -515,11 +516,25 @@ def wavefront_render(
         lum = (
             lte[:, 0] * _LUMA[0] + lte[:, 1] * _LUMA[1] + lte[:, 2] * _LUMA[2]
         )
+        lte_acc = lte
+        if firefly_clamp > 0.0:
+            # per-SAMPLE outlier clamp (render-mode opt-in): a single
+            # path that hits a huge-radiance chain (e.g. a caustic
+            # glimpse through meta-glass) otherwise leaves a firefly no
+            # finite-spp accumulation can average away. Scaling the
+            # whole RGB sample preserves hue. Slightly biased (energy
+            # above the cap is lost) — the Denoise render modes accept
+            # that trade; parity tests run with the clamp off.
+            scale = jnp.minimum(
+                1.0, firefly_clamp / jnp.maximum(lum, 1e-12)
+            )
+            lte_acc = lte * scale[:, None]
+            lum = lum * scale
         packed = jnp.where(
             donef,
             jnp.concatenate(
                 [
-                    lte, aov_a, aov_n,
+                    lte_acc, aov_a, aov_n,
                     (lum * lum)[:, None],
                     jnp.ones_like(lum)[:, None],
                 ],

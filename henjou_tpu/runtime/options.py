@@ -86,6 +86,11 @@ class RenderOption:
     # per pixel (every pixel divides by its own count); the reference
     # brute-forces uniform max_spp instead (renderer.h:1183,1241).
     adaptive: bool = True
+    # per-sample luminance cap (wavefront engine): kills fireflies no
+    # finite spp can average away. -1 = auto (64.0 in the Denoise render
+    # modes, off in Default/Debug — parity-sensitive runs see unclamped
+    # estimates); 0 = always off; >0 = explicit cap.
+    firefly_clamp: float = -1.0
 
 
 def _load_fps_txt(path: str):
@@ -193,4 +198,5 @@ def load_render_option(filepath: str) -> RenderOption:
         engine=engine,
         mis_mode=mis_mode,
         adaptive=bool(tpu.get("adaptive", True)),
+        firefly_clamp=float(tpu.get("firefly_clamp", -1.0)),
     )

@@ -763,6 +763,20 @@ class Renderer:
         chunks = _pixel_chunks(n, self.FILM_CHUNK_PIXELS)
 
         adaptive = bool(opt.adaptive)
+        # firefly clamp: auto = on (64.0) for the Denoise render modes
+        # only — parity-sensitive Default/Debug runs see unclamped
+        # estimates (options.firefly_clamp)
+        clamp = opt.firefly_clamp
+        if clamp < 0.0:
+            clamp = (
+                64.0
+                if opt.render_mode in (
+                    RenderMode.DENOISE,
+                    RenderMode.DENOISE_UPSCALE2X,
+                    RenderMode.DENOISE_TEMPORAL,
+                )
+                else 0.0
+            )
         use_args = accel is not None  # see render_frame miscompile note
         if use_args:
             wf_key = (
@@ -770,7 +784,7 @@ class Renderer:
                 type(accel).__name__,
                 getattr(accel, "num_super", 0),
                 getattr(accel, "num_clusters", 0),
-                light_accel is not None, mis_single, adaptive,
+                light_accel is not None, mis_single, adaptive, clamp,
             )
             cache = getattr(self, "_wf_cache", {})
             if cache.get("key") != wf_key:
@@ -802,6 +816,7 @@ class Renderer:
                         pixel_base=pixel_base, pixel_count=pixel_count,
                         sample_counts=sample_counts,
                         sample_base=sample_base,
+                        firefly_clamp=clamp,
                     )
 
                 cache = {"key": wf_key, "fn": wf_args}
@@ -828,6 +843,7 @@ class Renderer:
                     spp_offset=spp_offset, mis_single=mis_single,
                     pixel_base=jnp.uint32(base), pixel_count=count,
                     sample_counts=counts, sample_base=cbase,
+                    firefly_clamp=clamp,
                 )
 
             def wf_step(spp_offset, spp: int, base: int = 0,
@@ -1100,10 +1116,9 @@ class Renderer:
                     log.exception("temporal depth probe failed; blend-only")
                     cam = pos = hitm = None
             prev_cam = getattr(self, "_temporal_prev_cam", None)
+            spatial = self._spatial_denoise(aovs)
             if prev is None or prev[0].shape != color.shape or not sequential:
-                from henjou_tpu.post.denoise import denoise_atrous
-
-                out = denoise_atrous(color, albedo, normal)
+                out = spatial
             elif cam is not None and prev_cam is not None and pos is not None:
                 from henjou_tpu.post.denoise import (
                     denoise_temporal_reprojected,
@@ -1122,27 +1137,41 @@ class Renderer:
                     px.reshape(h, w),
                     py.reshape(h, w),
                     (infront.reshape(h, w) & hitm),
+                    spatial=spatial,
                 )
             else:
-                out = denoise_temporal(color, albedo, normal, *prev)
+                out = denoise_temporal(color, albedo, normal, *prev,
+                                       spatial=spatial)
             self._temporal_history = (out, albedo, normal)
             self._temporal_prev_frame = frame
             self._temporal_prev_cam = cam
             return np.asarray(out)
         if mode in (RenderMode.DENOISE, RenderMode.DENOISE_UPSCALE2X):
-            from henjou_tpu.post.denoise import denoise_atrous, upscale2x
+            from henjou_tpu.post.denoise import upscale2x
 
-            out = np.asarray(
-                denoise_atrous(
-                    jnp.asarray(aovs["color"]),
-                    jnp.asarray(aovs["albedo"]),
-                    jnp.asarray(aovs["normal"]),
-                )
-            )
+            out = np.asarray(self._spatial_denoise(aovs))
             if mode == RenderMode.DENOISE_UPSCALE2X:
                 out = np.asarray(upscale2x(jnp.asarray(out)))
             return out
         return aovs["color"]
+
+    @staticmethod
+    def _spatial_denoise(aovs: dict):
+        """Spatial reconstruction pass: VARIANCE-GUIDED (SVGF-weighted)
+        à-trous when the engine's variance AOV is present (wavefront
+        renders), fixed-sigma à-trous otherwise (masked engine)."""
+        color = jnp.asarray(aovs["color"])
+        albedo = jnp.asarray(aovs["albedo"])
+        normal = jnp.asarray(aovs["normal"])
+        if aovs.get("variance") is not None:
+            from henjou_tpu.post.denoise import denoise_atrous_var
+
+            return denoise_atrous_var(
+                color, albedo, normal, jnp.asarray(aovs["variance"])
+            )
+        from henjou_tpu.post.denoise import denoise_atrous
+
+        return denoise_atrous(color, albedo, normal)
 
     def _load_scene_from_option(self):
         opt = self.option

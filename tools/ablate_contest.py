@@ -59,8 +59,8 @@ def main():
     def fake_ofn(tri_verts, o, d, tmin, tmax):
         return jnp.zeros((o.shape[0],), bool) | (o[:, 0] < -1e30)
 
-    def make(kind, subtiles=0, mis_single=False):
-        ifn, ofn = make_binned_intersector(pc, subtiles=subtiles)
+    def make(kind, subtiles=0, mis_single=False, rt=256):
+        ifn, ofn = make_binned_intersector(pc, subtiles=subtiles, ray_tile=rt)
         sifn, sofn = make_bitonic_sorted_intersector(
             ifn, ofn, pc.scene_lo, pc.scene_hi
         )
@@ -87,8 +87,8 @@ def main():
 
         return run
 
-    def marginal(name, kind, subtiles=0, mis_single=False):
-        mk = make(kind, subtiles, mis_single)
+    def marginal(name, kind, subtiles=0, mis_single=False, rt=256):
+        mk = make(kind, subtiles, mis_single, rt)
         t, tr = {}, {}
         for it in (60, 120):
             r = mk(it)
@@ -116,6 +116,9 @@ def main():
         "fake-occl": lambda: marginal("fake-occl", "fake-occl"),
         "single-fake-occl": lambda: marginal(
             "single-fake-occl", "fake-occl", mis_single=True
+        ),
+        "single-rt512": lambda: marginal(
+            "single-rt512", "full", mis_single=True, rt=512
         ),
     }
     if only:
