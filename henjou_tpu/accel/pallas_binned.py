@@ -898,12 +898,17 @@ def make_binned_intersector(bc: BinnedClusters, ray_tile: int = 0,
                             subtiles: int = 0):
     """ray_tile=0 auto-selects per scene class: 256 for small (group=1)
     scenes — the program-overhead/culling-quality optimum of the round-3
-    gallery sweep — and 512 for grouped (large) scenes, where the walk
-    floor dominates and halving the tile count measured +6.6% on the
-    contest-scale engine iteration (55.9 vs 59.6 ms, BASELINE round-4;
-    the round-3 sweep only covered the gallery)."""
+    gallery sweep — and 512 for MID-SIZE grouped scenes (contest scale),
+    where the walk floor dominates and halving the tile count measured
+    +6.6% on the engine iteration (55.9 vs 59.6 ms, BASELINE round-4).
+    VERY large cluster sets stay at 256: at 1M tris (7,808 clusters) the
+    512-ray tile union degrades culling enough to regress the closest
+    kernel 34 -> 263 ms (measured round-4) — the win is walk-bound
+    scenes only."""
     if ray_tile == 0:
-        ray_tile = 512 if bc.group > 1 else RAY_TILE
+        ray_tile = (
+            512 if bc.group > 1 and bc.num_clusters <= 4096 else RAY_TILE
+        )
 
     def intersect_fn(tri_verts, ray_o, ray_d, tmin, tmax=TMAX_RAY):
         return intersect_binned(

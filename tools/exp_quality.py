@@ -1,0 +1,129 @@
+"""Quality-per-second validation: adaptive sampling + variance-guided
+denoise vs the uniform baseline, RMSE against a long-run ground truth
+(round-3 VERDICT asks #2/#3 'done' criteria).
+
+Modes (run on the real TPU, rtcamp contest scene @ 1280x720):
+  truth   render GT_SPP uniform spp, save raw mean -> /root/gt_rtcamp720.npz
+  run     render both a uniform and an adaptive frame under BUDGET_S,
+          then report RMSE vs the truth for: raw uniform, raw adaptive,
+          fixed-sigma denoised, variance-guided denoised
+Usage:
+  python tools/exp_quality.py truth [--spp 512]
+  python tools/exp_quality.py run [--budget 300]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import numpy as np
+
+GT_PATH = "/root/gt_rtcamp720.npz"
+W, H = 1280, 720
+
+
+def _renderer(adaptive: bool, max_spp: int, firefly_clamp: float = 0.0):
+    from henjou_tpu.runtime.options import RenderOption
+    from henjou_tpu.runtime.renderer import Renderer
+    from henjou_tpu.scene.testscenes import rtcamp_scene
+
+    opt = RenderOption(
+        image_width=W, image_height=H, max_spp=max_spp, spp_batch=16,
+        engine="wavefront", adaptive=adaptive, firefly_clamp=firefly_clamp,
+        scene_sky_default=(0.35, 0.45, 0.62),
+        camera_position=(0.0, 6.0, -16.5),
+        camera_direction=(0.0, -0.28, 1.0),
+        camera_fov=np.radians(40.0),
+    )
+    r = Renderer(option=opt)
+    r.set_scene(rtcamp_scene())
+    r.build()
+    return r
+
+
+def rmse(a, b):
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if mode == "truth":
+        spp = 512
+        if "--spp" in sys.argv:
+            spp = int(sys.argv[sys.argv.index("--spp") + 1])
+        r = _renderer(adaptive=True, max_spp=spp)
+        t0 = time.monotonic()
+        aovs = r.render_frame(0)
+        np.savez_compressed(
+            GT_PATH, color=aovs["color"].astype(np.float32), spp=spp
+        )
+        print(
+            f"truth: {spp} spp budget in {time.monotonic() - t0:.0f}s -> "
+            f"{GT_PATH}", flush=True,
+        )
+        return
+
+    budget = 300.0
+    if "--budget" in sys.argv:
+        budget = float(sys.argv[sys.argv.index("--budget") + 1])
+    gt = np.load(GT_PATH)["color"]
+
+    import jax.numpy as jnp
+
+    from henjou_tpu.post.denoise import denoise_atrous, denoise_atrous_var
+
+    results = {}
+    for name, adaptive in (("uniform", False), ("adaptive", True)):
+        r = _renderer(adaptive=adaptive, max_spp=100000, firefly_clamp=64.0)
+        t0 = time.monotonic()
+        aovs = r.render_frame(0, deadline=budget)
+        wall = time.monotonic() - t0
+        raw = aovs["color"]
+        fixed = np.asarray(
+            denoise_atrous(
+                jnp.asarray(raw), jnp.asarray(aovs["albedo"]),
+                jnp.asarray(aovs["normal"]),
+            )
+        )
+        guided = np.asarray(
+            denoise_atrous_var(
+                jnp.asarray(raw), jnp.asarray(aovs["albedo"]),
+                jnp.asarray(aovs["normal"]),
+                jnp.asarray(aovs["variance"]),
+            )
+        )
+        results[name] = dict(
+            spp=aovs["spp_done"], wall=wall,
+            counts=(
+                float(aovs["count"].min()), float(aovs["count"].mean()),
+                float(aovs["count"].max()),
+            ),
+            raw=rmse(raw, gt), fixed=rmse(fixed, gt),
+            guided=rmse(guided, gt),
+        )
+        print(
+            f"{name:9s} {wall:6.1f}s  spp-budget {aovs['spp_done']:4d} "
+            f"counts(min/mean/max) {results[name]['counts']}  "
+            f"RMSE raw {results[name]['raw']:.5f}  "
+            f"atrous {results[name]['fixed']:.5f}  "
+            f"svgf {results[name]['guided']:.5f}",
+            flush=True,
+        )
+    u, a = results["uniform"], results["adaptive"]
+    print(
+        f"summary: adaptive raw RMSE {a['raw']:.5f} vs uniform "
+        f"{u['raw']:.5f} ({(1 - a['raw'] / u['raw']) * 100:+.1f}%), "
+        f"svgf vs atrous (adaptive) "
+        f"{(1 - a['guided'] / a['fixed']) * 100:+.1f}%",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
