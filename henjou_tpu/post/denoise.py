@@ -73,7 +73,9 @@ def denoise_atrous(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "demodulate")
+)
 def denoise_atrous_var(
     color: jnp.ndarray,
     albedo: jnp.ndarray,
@@ -83,6 +85,7 @@ def denoise_atrous_var(
     sigma_lum: float = 4.0,
     sigma_albedo: float = 0.15,
     sigma_normal: float = 0.25,
+    demodulate: bool = True,
 ) -> jnp.ndarray:
     """VARIANCE-GUIDED edge-avoiding à-trous (the SVGF weighting,
     Schied 2017): the luminance edge-stop is normalized by the per-pixel
@@ -94,9 +97,29 @@ def denoise_atrous_var(
     with SQUARED weights (variance of a weighted mean), so later
     iterations see the reduced noise level.
 
+    `demodulate=True` filters ILLUMINATION (color / first-hit albedo)
+    and re-modulates afterwards — texture detail then lives entirely in
+    the albedo factor, so wide blurs in noisy regions no longer smear
+    it (SVGF practice; the reference NN denoiser learns the same
+    separation from its albedo guide layer, denoiser.h:105-111).
+    Pixels with near-zero albedo (sky, pure emitters) pass through
+    unmodulated.
+
     Role-matches the trained NN denoiser the reference leans on to make
     300 s frames presentable (include/renderer/denoiser.h:42-189);
     round-3 VERDICT missing #1."""
+    alb_d = None
+    if demodulate:
+        alb_d = jnp.where(albedo > 1e-3, albedo, 1.0)
+        color = color / alb_d
+        # variance column tracks the MODULATED luminance; rescale to the
+        # illumination domain (lum is linear in each channel scale)
+        lum_a = (
+            0.2126 * alb_d[..., 0]
+            + 0.7152 * alb_d[..., 1]
+            + 0.0722 * alb_d[..., 2]
+        )
+        variance = variance / jnp.maximum(lum_a * lum_a, 1e-6)
     out = color
     var = jnp.maximum(variance, 0.0)[..., None]
 
@@ -150,6 +173,8 @@ def denoise_atrous_var(
                 w2sum = w2sum + w * w
         out = acc / jnp.maximum(wsum, 1e-8)
         var = vacc / jnp.maximum(wsum * wsum, 1e-12)
+    if alb_d is not None:
+        out = out * alb_d
     return out
 
 

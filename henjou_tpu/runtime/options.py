@@ -91,6 +91,12 @@ class RenderOption:
     # modes, off in Default/Debug — parity-sensitive runs see unclamped
     # estimates); 0 = always off; >0 = explicit cap.
     firefly_clamp: float = -1.0
+    # sample generator: "cmj" = the reference's 4x4 CMJ (cmj.h,
+    # bit-exact port; pixel-exact parity runs use this), "sobol" =
+    # padded Owen-scrambled Sobol (sampling/sobol.py) — stratified at
+    # every power-of-two prefix, lower RMSE per sample in the 32-500
+    # spp contest regime (measured in BASELINE.md round 4).
+    sampler: str = "cmj"
 
 
 def _load_fps_txt(path: str):
@@ -154,6 +160,9 @@ def load_render_option(filepath: str) -> RenderOption:
         raise ValueError(
             f"TPU.integrator must be pathtrace|nee|mis, got {integrator!r}"
         )
+    sampler = str(tpu.get("sampler", "cmj"))
+    if sampler not in ("cmj", "sobol"):
+        raise ValueError(f"TPU.sampler must be cmj|sobol, got {sampler!r}")
 
     # config snapshot side-channel (render_json_loader.h:204-218)
     if bool(opt.get("save_renderOption", False)):
@@ -199,4 +208,5 @@ def load_render_option(filepath: str) -> RenderOption:
         mis_mode=mis_mode,
         adaptive=bool(tpu.get("adaptive", True)),
         firefly_clamp=float(tpu.get("firefly_clamp", -1.0)),
+        sampler=sampler,
     )

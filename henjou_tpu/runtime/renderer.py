@@ -482,6 +482,19 @@ class Renderer:
             return self.scene.camera_fov_from_file
         return self.option.camera_fov
 
+    def _frame_seed(self, frame: int) -> int:
+        """Per-frame sampler seed. sampler="sobol" sets the tag bit that
+        routes every draw through the padded Owen-Sobol sequence
+        (sampling/cmj.py SOBOL_SEED_FLAG); "cmj" masks it off so the
+        bit-exact reference CMJ path is unconditional regardless of the
+        user's seed value."""
+        from henjou_tpu.sampling.cmj import SOBOL_SEED_FLAG
+
+        s = (int(self.option.seed) + int(frame)) & 0xFFFFFFFF
+        if self.option.sampler == "sobol":
+            return s | SOBOL_SEED_FLAG
+        return s & 0x7FFFFFFF
+
     def render_frame(
         self,
         frame: int,
@@ -638,7 +651,7 @@ class Renderer:
                         cam,
                         pix,
                         jnp.uint32(spp_done),
-                        jnp.uint32(opt.seed + frame),
+                        jnp.uint32(self._frame_seed(frame)),
                         spp_count=cur,
                     )
                 else:
@@ -649,7 +662,7 @@ class Renderer:
                         cam,
                         pix,
                         jnp.uint32(spp_done),
-                        jnp.uint32(opt.seed + frame),
+                        jnp.uint32(self._frame_seed(frame)),
                         spp_count=cur,
                         width=width,
                         height=height,
@@ -826,7 +839,7 @@ class Renderer:
                         counts=None, cbase=None):
                 return cache["fn"](
                     frame_scene, accel, light_accel, cam, spp_offset,
-                    jnp.uint32(opt.seed + frame), jnp.uint32(base),
+                    jnp.uint32(self._frame_seed(frame)), jnp.uint32(base),
                     counts, cbase, spp=spp, pixel_count=count,
                 )
         else:
@@ -838,7 +851,7 @@ class Renderer:
                 return wavefront_render(
                     frame_scene, sky, cam, width, height, spp, bsdf_sample,
                     bsdf_eval=bsdf_eval, bsdf_pdf=bsdf_pdf,
-                    integrator=integrator, seed=opt.seed + frame, lanes=lanes,
+                    integrator=integrator, seed=self._frame_seed(frame), lanes=lanes,
                     intersect_fn=intersect_fn, occluded_fn=occluded_fn,
                     spp_offset=spp_offset, mis_single=mis_single,
                     pixel_base=jnp.uint32(base), pixel_count=count,

@@ -22,8 +22,17 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from henjou_tpu.sampling.sobol import sobol_pair
+
 CMJ_M = 4
 CMJ_N = 4
+
+# Seed tag bit selecting the Owen-scrambled Sobol sampler for a state
+# (sampling/sobol.py): draws through cmj_2d stay one lockstep code path
+# and tagged lanes take the Sobol values. The low 31 seed bits behave
+# identically in both modes; untagged states are BIT-EXACT with the
+# reference CMJ sampler (the oracle test pins this).
+SOBOL_SEED_FLAG = 0x80000000
 
 _U32 = jnp.uint32
 
@@ -137,7 +146,13 @@ def _cmj(index, scramble):
 
 
 def cmj_2d(state: CMJState):
-    """Draw a 2D sample; returns ((x, y), new_state). reference: cmj.h:119-128."""
+    """Draw a 2D sample; returns ((x, y), new_state). reference: cmj.h:119-128.
+
+    States tagged with SOBOL_SEED_FLAG take the padded Owen-scrambled
+    Sobol draw instead (sampling/sobol.py) — both primitives are pure
+    u32 VPU hashing (~100 ops/lane, microseconds against a bounce
+    iteration), so computing both and selecting keeps every draw site
+    a single traced code path."""
     index = state.n_spp % _u32(CMJ_M * CMJ_N)
     scramble = xxhash32(
         state.n_spp // _u32(CMJ_M * CMJ_N),
@@ -146,6 +161,15 @@ def cmj_2d(state: CMJState):
         state.scramble,
     )
     fx, fy = _cmj(index, scramble)
+    sx, sy = sobol_pair(
+        state.n_spp,
+        state.image_idx,
+        state.depth,
+        state.scramble & _u32(~SOBOL_SEED_FLAG & 0xFFFFFFFF),
+    )
+    tag = (state.scramble & _u32(SOBOL_SEED_FLAG)) != _u32(0)
+    fx = jnp.where(tag, sx, fx)
+    fy = jnp.where(tag, sy, fy)
     new_state = state._replace(depth=state.depth + _u32(1))
     return jnp.stack([fx, fy], axis=-1), new_state
 

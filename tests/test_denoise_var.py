@@ -69,6 +69,33 @@ def test_variance_guided_preserves_edges_when_converged():
     np.testing.assert_allclose(out, truth, atol=5e-3)
 
 
+def test_demodulation_preserves_smooth_texture_under_heavy_noise():
+    """Albedo demodulation: a smooth (sub-edge-stop) albedo texture under
+    flat illumination must survive an aggressive blur — the illumination
+    factor is constant, so the filter sees no signal to destroy; the
+    non-demodulated filter flattens the texture's curvature."""
+    rng = np.random.default_rng(11)
+    h = w = 96
+    x = np.arange(w, dtype=np.float32)
+    tex = 0.5 + 0.4 * np.sin(2 * np.pi * x / 8.0)
+    albedo = np.broadcast_to(tex[None, :, None], (h, w, 3)).astype(np.float32)
+    truth = albedo * 1.0  # unit flat illumination
+    sigma = 0.3
+    noisy = truth + rng.normal(size=truth.shape).astype(np.float32) * sigma
+    var = np.full((h, w), sigma * sigma, np.float32)
+    normal = np.zeros((h, w, 3), np.float32)
+    normal[..., 2] = 1.0
+    args = (jnp.asarray(noisy), jnp.asarray(albedo), jnp.asarray(normal),
+            jnp.asarray(var))
+    plain = np.asarray(denoise_atrous_var(*args, demodulate=False))
+    demod = np.asarray(denoise_atrous_var(*args, demodulate=True))
+    rmse = lambda a: np.sqrt(np.mean((a - truth) ** 2))
+    assert rmse(demod) < rmse(noisy)
+    # measured 0.89x on this synthetic (the albedo edge-stop already
+    # shields steep texture; demodulation removes the residual smear)
+    assert rmse(demod) < 0.95 * rmse(plain), (rmse(demod), rmse(plain))
+
+
 def test_firefly_clamp_caps_sample_luminance():
     from henjou_tpu.bsdf.dispatch import bsdf_eval, bsdf_pdf, make_bsdf_sampler
     from henjou_tpu.integrator.payload import Sky

@@ -79,10 +79,16 @@ def main():
     from henjou_tpu.post.denoise import denoise_atrous, denoise_atrous_var
 
     results = {}
-    for name, adaptive in (("uniform", False), ("adaptive", True)):
+    # adapt75: adaptive at 0.75x the budget — proves the round-3 ask #2
+    # criterion (match uniform's RMSE with >=25% fewer samples)
+    for name, adaptive, share in (
+        ("uniform", False, 1.0),
+        ("adaptive", True, 1.0),
+        ("adapt75", True, 0.75),
+    ):
         r = _renderer(adaptive=adaptive, max_spp=100000, firefly_clamp=64.0)
         t0 = time.monotonic()
-        aovs = r.render_frame(0, deadline=budget)
+        aovs = r.render_frame(0, deadline=budget * share)
         wall = time.monotonic() - t0
         raw = aovs["color"]
         fixed = np.asarray(
@@ -95,7 +101,14 @@ def main():
             denoise_atrous_var(
                 jnp.asarray(raw), jnp.asarray(aovs["albedo"]),
                 jnp.asarray(aovs["normal"]),
-                jnp.asarray(aovs["variance"]),
+                jnp.asarray(aovs["variance"]), demodulate=False,
+            )
+        )
+        demod = np.asarray(
+            denoise_atrous_var(
+                jnp.asarray(raw), jnp.asarray(aovs["albedo"]),
+                jnp.asarray(aovs["normal"]),
+                jnp.asarray(aovs["variance"]), demodulate=True,
             )
         )
         results[name] = dict(
@@ -105,22 +118,28 @@ def main():
                 float(aovs["count"].max()),
             ),
             raw=rmse(raw, gt), fixed=rmse(fixed, gt),
-            guided=rmse(guided, gt),
+            guided=rmse(guided, gt), demod=rmse(demod, gt),
         )
         print(
             f"{name:9s} {wall:6.1f}s  spp-budget {aovs['spp_done']:4d} "
             f"counts(min/mean/max) {results[name]['counts']}  "
             f"RMSE raw {results[name]['raw']:.5f}  "
             f"atrous {results[name]['fixed']:.5f}  "
-            f"svgf {results[name]['guided']:.5f}",
+            f"svgf {results[name]['guided']:.5f}  "
+            f"svgf+demod {results[name]['demod']:.5f}",
             flush=True,
         )
     u, a = results["uniform"], results["adaptive"]
+    a75 = results["adapt75"]
     print(
         f"summary: adaptive raw RMSE {a['raw']:.5f} vs uniform "
         f"{u['raw']:.5f} ({(1 - a['raw'] / u['raw']) * 100:+.1f}%), "
         f"svgf vs atrous (adaptive) "
-        f"{(1 - a['guided'] / a['fixed']) * 100:+.1f}%",
+        f"{(1 - a['guided'] / a['fixed']) * 100:+.1f}%, "
+        f"demod vs svgf (adaptive) "
+        f"{(1 - a['demod'] / a['guided']) * 100:+.1f}%; "
+        f"adaptive@75% raw {a75['raw']:.5f} "
+        f"({'<=' if a75['raw'] <= u['raw'] else '>'} uniform@100%)",
         flush=True,
     )
 
