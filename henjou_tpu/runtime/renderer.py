@@ -81,14 +81,20 @@ def _pixel_chunks(n_pixels: int, chunk_max: int):
 def _adaptive_allocation(
     budget: int, color_sum: np.ndarray, m2: np.ndarray, cnt: np.ndarray
 ) -> np.ndarray:
-    """Per-pixel sample counts for the next batch, proportional to the
-    relative-standard-deviation estimate sqrt(var)/(mean + eps) from the
-    samples so far (optimal allocation for fixed total budget puts
-    n_p ~ sigma_p; the relative form targets display-referred error).
-    Weights are floored at 5% of the mean (converged pixels keep getting
-    occasional samples, so their variance estimate stays live) and capped
-    at 20x (a firefly pixel can't eat the whole budget). floor() keeps
-    sum(a) <= budget — the engine's static sample list is budget-sized.
+    """Per-pixel sample counts for the next batch: DEFICIT-based
+    allocation toward target TOTAL counts n_p ~ w_p, where
+    w_p = sigma_p / (mean_p + 0.05) (n ~ sigma is the optimal fixed-
+    budget split for per-pixel std; the soft relative form targets
+    display-referred error). Each batch fills max(target - current, 0),
+    so a pixel that out-ran its target gets NOTHING until the rest
+    catch up — allocating each batch proportional to the weights
+    instead lets the max/mean count ratio run away (measured round 4:
+    a 10,758-spp pixel at mean 170 spp, RAW RMSE 15% WORSE than
+    uniform). Weights are clipped to [0.25, 8]x their mean, bounding
+    the cumulative per-pixel count ratio to the same band: converged
+    pixels keep sampling (live variance estimates), firefly pixels
+    can't eat the budget. floor() keeps sum(a) <= budget — the
+    engine's static sample list is budget-sized.
 
     The reference has no analogue (uniform max_spp, renderer.h:1183);
     allocation uses only PREVIOUS batches' samples, and every pixel is
@@ -103,8 +109,14 @@ def _adaptive_allocation(
     var = np.maximum(m2 / n - mu * mu, 0.0)
     w = np.sqrt(var) / (np.abs(mu) + 0.05)
     wm = max(float(w.mean()), 1e-12)
-    w = np.clip(w, 0.05 * wm, 20.0 * wm)
-    return np.floor(budget * w / w.sum()).astype(np.int32)
+    w = np.clip(w, 0.25 * wm, 8.0 * wm)
+    total = float(cnt.sum()) + float(budget)
+    target = total * w / w.sum()
+    need = np.maximum(target - cnt, 0.0)
+    s = float(need.sum())
+    if s <= 0.0:  # everyone at/over target: fall back to uniform
+        return np.full(cnt.shape, budget // max(cnt.size, 1), np.int32)
+    return np.floor(budget * need / s).astype(np.int32)
 
 
 class Renderer:

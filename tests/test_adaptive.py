@@ -82,6 +82,40 @@ def test_flat_counts_match_uniform_and_two_pass_continuation():
     )
 
 
+def test_allocation_is_deficit_based_and_bounded():
+    """_adaptive_allocation: batch-proportional allocation let one
+    firefly pixel reach 63x the mean count (measured round 4, RAW RMSE
+    15% worse than uniform); the deficit form must (a) starve pixels
+    already past their target, (b) keep sum <= budget, (c) favor
+    high-variance pixels, (d) bound the implied TOTAL count ratio to
+    the 8x weight clip."""
+    from henjou_tpu.runtime.renderer import _adaptive_allocation
+
+    rng = np.random.default_rng(0)
+    npix, budget = 4096, 4096 * 16
+    mu = np.full(npix, 0.5, np.float64)
+    sig = np.full(npix, 0.1)
+    sig[:64] = 5.0  # high-variance block
+    cnt = np.full(npix, 32.0)
+    cnt[64:128] = 4096.0  # already hugely over-sampled block
+    csum = np.stack([mu * cnt] * 3, 1)
+    m2 = (sig * sig + mu * mu) * cnt
+    a = _adaptive_allocation(budget, csum, m2, cnt)
+    assert a.sum() <= budget
+    assert (a[64:128] == 0).all()  # (a) over-target pixels starved
+    assert a[:64].mean() > 4 * a[128:].mean()  # (c)
+    # (d) across repeated batches, totals stay within the clip band
+    for _ in range(40):
+        csum = np.stack([mu * cnt] * 3, 1)
+        m2 = (sig * sig + mu * mu) * cnt
+        a = _adaptive_allocation(budget, csum, m2, cnt)
+        cnt = cnt + a
+    # clip is [0.25, 8]x the PRE-clip weight mean; clipping shifts the
+    # mean down, so the steady-state max/mean lands a bit above 8
+    assert cnt.max() / cnt.mean() < 12.0, cnt.max() / cnt.mean()
+    assert cnt[128:].min() / cnt.mean() > 0.2
+
+
 @pytest.mark.slow
 def test_renderer_adaptive_loop_allocates_by_variance():
     from henjou_tpu.runtime.options import RenderOption
