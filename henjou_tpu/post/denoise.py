@@ -82,7 +82,7 @@ def denoise_atrous_var(
     normal: jnp.ndarray,
     variance: jnp.ndarray,
     iterations: int = 4,
-    sigma_lum: float = 4.0,
+    sigma_lum: float = 1.5,
     sigma_albedo: float = 0.15,
     sigma_normal: float = 0.25,
     demodulate: bool = True,
@@ -107,7 +107,14 @@ def denoise_atrous_var(
 
     Role-matches the trained NN denoiser the reference leans on to make
     300 s frames presentable (include/renderer/denoiser.h:42-189);
-    round-3 VERDICT missing #1."""
+    round-3 VERDICT missing #1.
+
+    Defaults tuned offline on contest-scale AOV dumps vs a 512-spp
+    ground truth (tools/exp_quality.py `tune`, BASELINE.md round-4
+    quality ledger): sigma_lum=1.5 is the RMSE optimum for both uniform
+    and adaptive films (sl=4 over-blurs, +12% RMSE); demodulation is a
+    consistent small win; a James-Stein raw/filtered shrinkage blend
+    was measured WORSE at contest spp (tools/exp_shrink.py)."""
     alb_d = None
     if demodulate:
         alb_d = jnp.where(albedo > 1e-3, albedo, 1.0)

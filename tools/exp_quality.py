@@ -7,9 +7,15 @@ Modes (run on the real TPU, rtcamp contest scene @ 1280x720):
   run     render both a uniform and an adaptive frame under BUDGET_S,
           then report RMSE vs the truth for: raw uniform, raw adaptive,
           fixed-sigma denoised, variance-guided denoised
+  aovs    render ONE frame under BUDGET_S and save every AOV ->
+          /root/aovs_rtcamp720_<tag>.npz (offline denoiser-tuning input)
+  tune    offline: sweep denoiser params on a saved aovs file vs truth
+          (no TPU render; seconds per variant)
 Usage:
   python tools/exp_quality.py truth [--spp 512]
-  python tools/exp_quality.py run [--budget 300]
+  python tools/exp_quality.py run [--budget 300] [--sampler cmj|sobol]
+  python tools/exp_quality.py aovs [--budget 120] [--sampler ...] [--adaptive]
+  python tools/exp_quality.py tune [--aovs /root/aovs_rtcamp720_<tag>.npz]
 """
 
 from __future__ import annotations
@@ -28,7 +34,10 @@ GT_PATH = "/root/gt_rtcamp720.npz"
 W, H = 1280, 720
 
 
-def _renderer(adaptive: bool, max_spp: int, firefly_clamp: float = 0.0):
+def _renderer(
+    adaptive: bool, max_spp: int, firefly_clamp: float = 0.0,
+    sampler: str = "cmj",
+):
     from henjou_tpu.runtime.options import RenderOption
     from henjou_tpu.runtime.renderer import Renderer
     from henjou_tpu.scene.testscenes import rtcamp_scene
@@ -36,6 +45,7 @@ def _renderer(adaptive: bool, max_spp: int, firefly_clamp: float = 0.0):
     opt = RenderOption(
         image_width=W, image_height=H, max_spp=max_spp, spp_batch=16,
         engine="wavefront", adaptive=adaptive, firefly_clamp=firefly_clamp,
+        sampler=sampler,
         scene_sky_default=(0.35, 0.45, 0.62),
         camera_position=(0.0, 6.0, -16.5),
         camera_direction=(0.0, -0.28, 1.0),
@@ -72,6 +82,34 @@ def main():
     budget = 300.0
     if "--budget" in sys.argv:
         budget = float(sys.argv[sys.argv.index("--budget") + 1])
+    sampler = "cmj"
+    if "--sampler" in sys.argv:
+        sampler = sys.argv[sys.argv.index("--sampler") + 1]
+
+    if mode == "aovs":
+        adaptive = "--adaptive" in sys.argv
+        tag = f"{sampler}{'_ada' if adaptive else ''}_{int(budget)}s"
+        r = _renderer(adaptive=adaptive, max_spp=100000,
+                      firefly_clamp=64.0, sampler=sampler)
+        t0 = time.monotonic()
+        aovs = r.render_frame(0, deadline=budget)
+        wall = time.monotonic() - t0
+        out = f"/root/aovs_rtcamp720_{tag}.npz"
+        np.savez_compressed(
+            out,
+            **{k: np.asarray(v) for k, v in aovs.items() if v is not None},
+        )
+        gt = np.load(GT_PATH)["color"]
+        print(
+            f"aovs[{tag}]: {aovs['spp_done']} spp in {wall:.1f}s, raw RMSE "
+            f"{rmse(aovs['color'], gt):.5f} -> {out}", flush=True,
+        )
+        return
+
+    if mode == "tune":
+        _tune()
+        return
+
     gt = np.load(GT_PATH)["color"]
 
     import jax.numpy as jnp
@@ -81,12 +119,14 @@ def main():
     results = {}
     # adapt75: adaptive at 0.75x the budget — proves the round-3 ask #2
     # criterion (match uniform's RMSE with >=25% fewer samples)
+    print(f"run: budget {budget:.0f}s, sampler {sampler}", flush=True)
     for name, adaptive, share in (
         ("uniform", False, 1.0),
         ("adaptive", True, 1.0),
         ("adapt75", True, 0.75),
     ):
-        r = _renderer(adaptive=adaptive, max_spp=100000, firefly_clamp=64.0)
+        r = _renderer(adaptive=adaptive, max_spp=100000, firefly_clamp=64.0,
+                      sampler=sampler)
         t0 = time.monotonic()
         aovs = r.render_frame(0, deadline=budget * share)
         wall = time.monotonic() - t0
@@ -142,6 +182,45 @@ def main():
         f"({'<=' if a75['raw'] <= u['raw'] else '>'} uniform@100%)",
         flush=True,
     )
+
+
+def _tune():
+    """Offline denoiser-parameter sweep on a saved AOV dump (no TPU
+    render): the round-4 quality run measured variance-GUIDED à-trous
+    LOSING to the fixed-sigma filter at contest scale (0.04745 vs
+    0.04446 RMSE) — sweep sigma_lum / iterations / demodulation to find
+    whether that's a tuning artifact or structural."""
+    import jax.numpy as jnp
+
+    from henjou_tpu.post.denoise import denoise_atrous, denoise_atrous_var
+
+    path = "/root/aovs_rtcamp720_cmj_120s.npz"
+    if "--aovs" in sys.argv:
+        path = sys.argv[sys.argv.index("--aovs") + 1]
+    d = np.load(path)
+    gt = np.load(GT_PATH)["color"]
+    color, albedo = jnp.asarray(d["color"]), jnp.asarray(d["albedo"])
+    normal, var = jnp.asarray(d["normal"]), jnp.asarray(d["variance"])
+    print(f"tune on {path}: raw RMSE {rmse(d['color'], gt):.5f}")
+    base = np.asarray(denoise_atrous(color, albedo, normal))
+    print(f"  atrous(fixed)                       {rmse(base, gt):.5f}")
+    best = (None, 1e9)
+    for it in (4, 5, 6):
+        for sl in (0.5, 1.0, 1.5, 2.0, 3.0):
+            for dm in (False, True):
+                out = np.asarray(
+                    denoise_atrous_var(
+                        color, albedo, normal, var,
+                        iterations=it, sigma_lum=sl, demodulate=dm,
+                    )
+                )
+                e = rmse(out, gt)
+                tag = f"svgf it={it} sigma_lum={sl:5.1f} demod={int(dm)}"
+                print(f"  {tag}  {e:.5f}", flush=True)
+                if e < best[1]:
+                    best = (tag, e)
+    print(f"best: {best[0]} RMSE {best[1]:.5f} "
+          f"(atrous fixed {rmse(base, gt):.5f})")
 
 
 if __name__ == "__main__":
