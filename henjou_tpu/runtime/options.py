@@ -85,7 +85,16 @@ class RenderOption:
     # proportional to the per-pixel relative-variance estimate. Unbiased
     # per pixel (every pixel divides by its own count); the reference
     # brute-forces uniform max_spp instead (renderer.h:1183,1241).
-    adaptive: bool = True
+    # Default OFF: measured round 4 (BASELINE.md quality ledger), the
+    # tuned SVGF denoises the UNIFORM film better in both linear and
+    # sRGB space (post-SVGF sRGB 0.01217 uniform vs 0.01238 adaptive);
+    # adaptive only wins raw display-referred error (-4.6% sRGB), so
+    # enable it for non-denoised outputs, not the Denoise artifact path.
+    adaptive: bool = False
+    # allocation weight: "relstd" targets display-referred error
+    # (sigma/mean), "std" targets absolute linear-HDR error (n ~ sigma
+    # is the optimal fixed-budget split for mean squared error).
+    adaptive_metric: str = "relstd"
     # per-sample luminance cap (wavefront engine): kills fireflies no
     # finite spp can average away. -1 = auto (64.0 in the Denoise render
     # modes, off in Default/Debug — parity-sensitive runs see unclamped
@@ -163,6 +172,11 @@ def load_render_option(filepath: str) -> RenderOption:
     sampler = str(tpu.get("sampler", "cmj"))
     if sampler not in ("cmj", "sobol"):
         raise ValueError(f"TPU.sampler must be cmj|sobol, got {sampler!r}")
+    adaptive_metric = str(tpu.get("adaptive_metric", "relstd"))
+    if adaptive_metric not in ("relstd", "std"):
+        raise ValueError(
+            f"TPU.adaptive_metric must be relstd|std, got {adaptive_metric!r}"
+        )
 
     # config snapshot side-channel (render_json_loader.h:204-218)
     if bool(opt.get("save_renderOption", False)):
@@ -206,7 +220,8 @@ def load_render_option(filepath: str) -> RenderOption:
         integrator=integrator,
         engine=engine,
         mis_mode=mis_mode,
-        adaptive=bool(tpu.get("adaptive", True)),
+        adaptive=bool(tpu.get("adaptive", False)),
+        adaptive_metric=adaptive_metric,
         firefly_clamp=float(tpu.get("firefly_clamp", -1.0)),
         sampler=sampler,
     )

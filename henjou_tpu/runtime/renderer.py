@@ -79,13 +79,15 @@ def _pixel_chunks(n_pixels: int, chunk_max: int):
 
 
 def _adaptive_allocation(
-    budget: int, color_sum: np.ndarray, m2: np.ndarray, cnt: np.ndarray
+    budget: int, color_sum: np.ndarray, m2: np.ndarray, cnt: np.ndarray,
+    metric: str = "relstd",
 ) -> np.ndarray:
     """Per-pixel sample counts for the next batch: DEFICIT-based
     allocation toward target TOTAL counts n_p ~ w_p, where
-    w_p = sigma_p / (mean_p + 0.05) (n ~ sigma is the optimal fixed-
-    budget split for per-pixel std; the soft relative form targets
-    display-referred error). Each batch fills max(target - current, 0),
+    w_p = sigma_p / (mean_p + 0.05) (metric="relstd", the default —
+    targets display-referred error) or w_p = sigma_p (metric="std" —
+    n ~ sigma is the optimal fixed-budget split for ABSOLUTE per-pixel
+    error, the quantity linear-HDR RMSE measures). Each batch fills max(target - current, 0),
     so a pixel that out-ran its target gets NOTHING until the rest
     catch up — allocating each batch proportional to the weights
     instead lets the max/mean count ratio run away (measured round 4:
@@ -107,7 +109,9 @@ def _adaptive_allocation(
         + 0.0722 * color_sum[:, 2]
     ) / n
     var = np.maximum(m2 / n - mu * mu, 0.0)
-    w = np.sqrt(var) / (np.abs(mu) + 0.05)
+    w = np.sqrt(var)
+    if metric == "relstd":
+        w = w / (np.abs(mu) + 0.05)
     wm = max(float(w.mean()), 1e-12)
     w = np.clip(w, 0.25 * wm, 8.0 * wm)
     total = float(cnt.sum()) + float(budget)
@@ -897,7 +901,8 @@ class Renderer:
                 if adaptive:
                     if spp_done > 0:
                         a = _adaptive_allocation(
-                            count * cur, color[sl], m2[sl], cnt[sl]
+                            count * cur, color[sl], m2[sl], cnt[sl],
+                            metric=opt.adaptive_metric,
                         )
                     else:
                         # uniform warm-up batch (variance not yet known)

@@ -116,6 +116,43 @@ def test_allocation_is_deficit_based_and_bounded():
     assert cnt[128:].min() / cnt.mean() > 0.2
 
 
+def test_allocation_metric_std_ignores_pixel_mean():
+    """metric="std" weights by absolute sigma (the optimal split for
+    linear-HDR RMSE): two pixels with equal sigma but 100x different
+    means must get equal targets, where "relstd" skews toward the dark
+    one. Loader validation rejects unknown metric strings."""
+    from henjou_tpu.runtime.renderer import _adaptive_allocation
+
+    npix, budget = 256, 256 * 16
+    mu = np.full(npix, 0.05)
+    mu[:128] = 5.0  # bright half, same absolute noise
+    sig = np.full(npix, 0.5)
+    cnt = np.full(npix, 32.0)
+    csum = np.stack([mu * cnt] * 3, 1)
+    m2 = (sig * sig + mu * mu) * cnt
+    a_abs = _adaptive_allocation(budget, csum, m2, cnt, metric="std")
+    a_rel = _adaptive_allocation(budget, csum, m2, cnt, metric="relstd")
+    assert abs(int(a_abs[:128].sum()) - int(a_abs[128:].sum())) <= npix
+    assert a_rel[128:].sum() > 2 * a_rel[:128].sum()
+
+    import json
+    import os
+    import tempfile
+
+    from henjou_tpu.runtime.options import load_render_option
+
+    base = os.path.join(os.path.dirname(__file__), "..", "scenes",
+                        "rtcamp_option.json")
+    with open(base) as f:
+        cfg = json.load(f)
+    cfg["TPU"]["adaptive_metric"] = "nope"
+    with tempfile.NamedTemporaryFile("w", suffix=".json") as f:
+        json.dump(cfg, f)
+        f.flush()
+        with pytest.raises(ValueError, match="adaptive_metric"):
+            load_render_option(f.name)
+
+
 @pytest.mark.slow
 def test_renderer_adaptive_loop_allocates_by_variance():
     from henjou_tpu.runtime.options import RenderOption

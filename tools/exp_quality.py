@@ -36,7 +36,7 @@ W, H = 1280, 720
 
 def _renderer(
     adaptive: bool, max_spp: int, firefly_clamp: float = 0.0,
-    sampler: str = "cmj",
+    sampler: str = "cmj", metric: str = "relstd",
 ):
     from henjou_tpu.runtime.options import RenderOption
     from henjou_tpu.runtime.renderer import Renderer
@@ -45,7 +45,7 @@ def _renderer(
     opt = RenderOption(
         image_width=W, image_height=H, max_spp=max_spp, spp_batch=16,
         engine="wavefront", adaptive=adaptive, firefly_clamp=firefly_clamp,
-        sampler=sampler,
+        sampler=sampler, adaptive_metric=metric,
         scene_sky_default=(0.35, 0.45, 0.62),
         camera_position=(0.0, 6.0, -16.5),
         camera_direction=(0.0, -0.28, 1.0),
@@ -85,12 +85,16 @@ def main():
     sampler = "cmj"
     if "--sampler" in sys.argv:
         sampler = sys.argv[sys.argv.index("--sampler") + 1]
+    metric = "relstd"
+    if "--metric" in sys.argv:
+        metric = sys.argv[sys.argv.index("--metric") + 1]
 
     if mode == "aovs":
         adaptive = "--adaptive" in sys.argv
-        tag = f"{sampler}{'_ada' if adaptive else ''}_{int(budget)}s"
+        tag = f"{sampler}{'_ada' if adaptive else ''}" \
+              f"{'_' + metric if metric != 'relstd' else ''}_{int(budget)}s"
         r = _renderer(adaptive=adaptive, max_spp=100000,
-                      firefly_clamp=64.0, sampler=sampler)
+                      firefly_clamp=64.0, sampler=sampler, metric=metric)
         t0 = time.monotonic()
         aovs = r.render_frame(0, deadline=budget)
         wall = time.monotonic() - t0
