@@ -656,8 +656,25 @@ class Renderer:
         tile = self.tile_size
         pix_order = _swizzled_pixel_order(width, height)
         t0 = time.monotonic()
+        # predictive deadline: the masked film normalizes by a single
+        # uniform spp_done, so batches are indivisible — instead of
+        # overshooting by up to a whole batch, stop BEFORE a batch whose
+        # predicted cost (EMA of measured per-spp time) would not fit
+        est_spp_s = None
         while spp_done < opt.max_spp:
             cur = min(batch, opt.max_spp - spp_done)
+            if (
+                deadline is not None
+                and spp_done > 0
+                and est_spp_s is not None
+                and time.monotonic() - t0 + est_spp_s * cur > deadline
+            ):
+                log.warning(
+                    "frame %d: deadline hit at %d/%d spp (next batch "
+                    "would not fit)", frame, spp_done, opt.max_spp,
+                )
+                break
+            t_batch = time.monotonic()
             for start in range(0, n, tile):
                 stop = min(start + tile, n)
                 pix_np = pix_order[start:stop]
@@ -686,6 +703,10 @@ class Renderer:
                 color[pix_np] += np.asarray(c)
                 albedo[pix_np] += np.asarray(a)
                 normal[pix_np] += np.asarray(nm)
+            per = (time.monotonic() - t_batch) / cur
+            est_spp_s = (
+                per if est_spp_s is None else 0.5 * est_spp_s + 0.5 * per
+            )
             spp_done += cur
             if checkpoint_path:
                 np.savez(
@@ -722,6 +743,7 @@ class Renderer:
             "albedo": (albedo * inv).reshape(height, width, 3),
             "normal": (normal * inv).reshape(height, width, 3),
             "spp_done": spp_done,
+            "render_s": render_s,
         }
         return out
 
@@ -893,9 +915,30 @@ class Renderer:
         traces = 0.0
         batch = max(1, opt.spp_batch)
         t0 = time.monotonic()
-        while spp_done < opt.max_spp:
+        # Chunk-granular predictive deadline: a full spp batch at 1080p is
+        # ~8 pixel chunks x seconds each, so a batch-level check can
+        # overshoot the contest budget by a whole batch (measured 378 s on
+        # a 300 s run). Instead, before each chunk, predict its cost from
+        # an EMA of measured per-spp chunk time and stop when it would not
+        # fit. Partial batches are unbiased: per-pixel `cnt` normalizes
+        # every pixel by its own sample count. The FIRST batch always
+        # completes so no pixel is left at zero samples.
+        est_spp_chunk = None  # EMA seconds per (spp x chunk)
+        stop = False
+        while spp_done < opt.max_spp and not stop:
             cur = min(batch, opt.max_spp - spp_done)
+            chunks_done = 0
             for base, count in chunks:
+                if (
+                    deadline is not None
+                    and spp_done > 0
+                    and est_spp_chunk is not None
+                    and time.monotonic() - t0 + est_spp_chunk * cur
+                    > deadline
+                ):
+                    stop = True
+                    break
+                t_chunk = time.monotonic()
                 sl = slice(base, base + count)
                 counts = cbase = None
                 if adaptive:
@@ -918,6 +961,20 @@ class Renderer:
                 m2[sl] += np.asarray(film.m2)
                 cnt[sl] += np.asarray(film.count)
                 traces += float(film.n_traces)
+                chunks_done += 1
+                per = (time.monotonic() - t_chunk) / cur
+                # fast decay: the first sample includes jit compile
+                est_spp_chunk = (
+                    per if est_spp_chunk is None
+                    else 0.5 * est_spp_chunk + 0.5 * per
+                )
+            if stop:
+                log.warning(
+                    "frame %d: deadline hit at %d/%d spp (+%d/%d chunks of "
+                    "the next batch)",
+                    frame, spp_done, opt.max_spp, chunks_done, len(chunks),
+                )
+                break
             spp_done += cur
             if checkpoint_path:
                 np.savez(
@@ -961,6 +1018,7 @@ class Renderer:
             "variance": var_mean.reshape(height, width),
             "count": cnt.reshape(height, width),
             "spp_done": spp_done,
+            "render_s": render_s,
         }
 
     def render_debug(self, frame: int) -> dict:
@@ -1029,6 +1087,12 @@ class Renderer:
         stamp = time.strftime("%Y%m%d-%H%M%S") + "_" if opt.use_date else ""
 
         written = []
+        # measured non-render overhead (scene flatten + accel refresh +
+        # denoise/finalize + PNG write) of the previous frame, reserved
+        # off every later frame's deadline so the WHOLE animation lands
+        # inside budget_s (a 300 s contest run once overshot to 378 s
+        # because finalize time was never charged to the schedule)
+        overhead_est = 0.0
         for frame in range(opt.start_frame, opt.end_frame):
             t0 = time.monotonic()
             if opt.render_mode == RenderMode.DEBUG:
@@ -1058,7 +1122,10 @@ class Renderer:
             ckpt = os.path.join(out_dir, f".{base}_{frame:03d}.ckpt.npz")
             aovs = self.render_frame(
                 frame,
-                deadline=max(remaining / frames_left, 1.0),
+                deadline=max(
+                    (remaining - overhead_est * frames_left) / frames_left,
+                    1.0,
+                ),
                 checkpoint_path=ckpt,
             )
             if os.path.exists(ckpt):
@@ -1069,11 +1136,21 @@ class Renderer:
             path = os.path.join(opt.image_directory, name)
             write_png(path, u8)
             written.append(path)
+            frame_total = time.monotonic() - t0
+            overhead = frame_total - float(aovs.get("render_s", 0.0))
+            # latest measurement wins: frame 0's overhead includes the
+            # one-time denoiser compile, so it over-reserves for frame 1
+            # (conservative — undershooting the budget beats a contest DQ);
+            # frames >=2 see the steady per-frame overhead
+            overhead_est = overhead
             log.info(
-                "frame %d: %d spp in %.2fs -> %s",
+                "frame %d: %d spp in %.2fs (render %.2fs, overhead %.2fs)"
+                " -> %s",
                 frame,
                 aovs["spp_done"],
-                time.monotonic() - t0,
+                frame_total,
+                float(aovs.get("render_s", 0.0)),
+                overhead,
                 path,
             )
         log.info(

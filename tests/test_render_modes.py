@@ -211,9 +211,13 @@ def test_animation_budget_split_across_frames(tmp_path, monkeypatch):
     def fake_render_frame(self, frame, deadline=None, checkpoint_path=None):
         seen.append(deadline)
         # frame 0 finishes early (10 s); later frames use their full slice
-        clock["t"] += 10.0 if frame == 0 else deadline
+        dt = 10.0 if frame == 0 else deadline
+        clock["t"] += dt
         img = np.zeros((4, 4, 3), np.float32)
-        return {"color": img, "albedo": img, "normal": img, "spp_done": 1}
+        return {
+            "color": img, "albedo": img, "normal": img, "spp_done": 1,
+            "render_s": dt,  # all wall time was rendering: zero overhead
+        }
 
     monkeypatch.setattr(Renderer, "render_frame", fake_render_frame)
     r.initialize_and_render()
@@ -222,3 +226,46 @@ def test_animation_budget_split_across_frames(tmp_path, monkeypatch):
     np.testing.assert_allclose(seen[0], 90.0 / 3)
     np.testing.assert_allclose(seen[1], (90.0 - 10.0) / 2)  # early finish rolls over
     np.testing.assert_allclose(seen[2], 90.0 - 10.0 - seen[1])
+
+
+def test_animation_budget_reserves_frame_overhead(tmp_path, monkeypatch):
+    """Non-render overhead (finalize/denoise/PNG) measured on frame k is
+    reserved off frame k+1's deadline, so the whole animation lands
+    inside time_limit*60 even though the render loop can't see the
+    finalize cost (a 300 s contest run once overshot to 378 s)."""
+    import dataclasses
+
+    from henjou_tpu.runtime import renderer as rmod
+
+    r = _mk_renderer(RenderMode.DEFAULT, spp=8, size=16)
+    r.option = dataclasses.replace(
+        r.option, image_directory=str(tmp_path), image_name="bud",
+        start_frame=0, end_frame=3, time_limit=1.5,  # 90 s budget
+    )
+
+    clock = {"t": 1000.0}
+    monkeypatch.setattr(rmod.time, "monotonic", lambda: clock["t"])
+
+    seen = []
+
+    def fake_render_frame(self, frame, deadline=None, checkpoint_path=None):
+        seen.append(deadline)
+        clock["t"] += deadline  # renders its full slice...
+        clock["t"] += 5.0       # ...then 5 s of unseen finalize overhead
+        img = np.zeros((4, 4, 3), np.float32)
+        return {
+            "color": img, "albedo": img, "normal": img, "spp_done": 1,
+            "render_s": deadline,
+        }
+
+    monkeypatch.setattr(Renderer, "render_frame", fake_render_frame)
+    r.initialize_and_render()
+
+    assert len(seen) == 3
+    np.testing.assert_allclose(seen[0], 90.0 / 3)  # overhead not yet known
+    # frame 1: 55 s left, reserve 5 s overhead for each remaining frame
+    np.testing.assert_allclose(seen[1], (90.0 - 35.0 - 2 * 5.0) / 2)
+    # frame 2: 27.5 s left, reserve one 5 s overhead
+    np.testing.assert_allclose(seen[2], 90.0 - 35.0 - 27.5 - 5.0)
+    # the whole animation fits the 90 s budget
+    assert clock["t"] - 1000.0 <= 90.0 + 1e-6
