@@ -659,10 +659,21 @@ class Renderer:
         # predictive deadline: the masked film normalizes by a single
         # uniform spp_done, so batches are indivisible — instead of
         # overshooting by up to a whole batch, stop BEFORE a batch whose
-        # predicted cost (EMA of measured per-spp time) would not fit
-        est_spp_s = None
+        # predicted cost (EMA of measured per-spp time) would not fit.
+        # The estimate persists across frames (self) so later frames can
+        # size their FIRST batch to a tight deadline instead of always
+        # completing a full batch.
+        est_spp_s = getattr(self, "_est_spp_s", None)
         while spp_done < opt.max_spp:
             cur = min(batch, opt.max_spp - spp_done)
+            if (
+                deadline is not None
+                and spp_done == 0
+                and est_spp_s is not None
+            ):
+                left = deadline - (time.monotonic() - t0)
+                fit = int(left / max(est_spp_s, 1e-9))
+                cur = max(1, min(cur, fit))
             if (
                 deadline is not None
                 and spp_done > 0
@@ -707,6 +718,7 @@ class Renderer:
             est_spp_s = (
                 per if est_spp_s is None else 0.5 * est_spp_s + 0.5 * per
             )
+            self._est_spp_s = est_spp_s
             spp_done += cur
             if checkpoint_path:
                 np.savez(
@@ -836,6 +848,7 @@ class Renderer:
                 getattr(accel, "num_super", 0),
                 getattr(accel, "num_clusters", 0),
                 light_accel is not None, mis_single, adaptive, clamp,
+                opt.light_ris,
             )
             cache = getattr(self, "_wf_cache", {})
             if cache.get("key") != wf_key:
@@ -868,6 +881,7 @@ class Renderer:
                         sample_counts=sample_counts,
                         sample_base=sample_base,
                         firefly_clamp=clamp,
+                        light_ris=opt.light_ris,
                     )
 
                 cache = {"key": wf_key, "fn": wf_args}
@@ -895,6 +909,7 @@ class Renderer:
                     pixel_base=jnp.uint32(base), pixel_count=count,
                     sample_counts=counts, sample_base=cbase,
                     firefly_clamp=clamp,
+                    light_ris=opt.light_ris,
                 )
 
             def wf_step(spp_offset, spp: int, base: int = 0,
@@ -923,10 +938,24 @@ class Renderer:
         # fit. Partial batches are unbiased: per-pixel `cnt` normalizes
         # every pixel by its own sample count. The FIRST batch always
         # completes so no pixel is left at zero samples.
-        est_spp_chunk = None  # EMA seconds per (spp x chunk)
+        # The estimate persists across frames (self) so later frames can
+        # size their indivisible FIRST batch down to fit a tight
+        # deadline (frame 0's finalize overhead can leave frame 1 with
+        # seconds, not minutes).
+        est_spp_chunk = getattr(self, "_est_spp_chunk", None)
         stop = False
         while spp_done < opt.max_spp and not stop:
             cur = min(batch, opt.max_spp - spp_done)
+            if (
+                deadline is not None
+                and spp_done == 0
+                and est_spp_chunk is not None
+            ):
+                left = deadline - (time.monotonic() - t0)
+                fit = int(
+                    left / max(est_spp_chunk * len(chunks), 1e-9)
+                )
+                cur = max(1, min(cur, fit))
             chunks_done = 0
             for base, count in chunks:
                 if (
@@ -968,6 +997,7 @@ class Renderer:
                     per if est_spp_chunk is None
                     else 0.5 * est_spp_chunk + 0.5 * per
                 )
+                self._est_spp_chunk = est_spp_chunk
             if stop:
                 log.warning(
                     "frame %d: deadline hit at %d/%d spp (+%d/%d chunks of "
@@ -1120,12 +1150,20 @@ class Renderer:
             )
             base = os.path.basename(opt.image_name)
             ckpt = os.path.join(out_dir, f".{base}_{frame:03d}.ckpt.npz")
+            deadline = max(
+                (remaining - overhead_est * frames_left) / frames_left,
+                1.0,
+            )
+            if frame == opt.start_frame and budget_s < float("inf"):
+                # the first frame's finalize overhead (denoiser compile,
+                # accel build, PNG encode) is unknown and historically
+                # large on cold caches (107 s measured at 1080p):
+                # under-allocate its render — unspent time rolls forward
+                # to later frames, an overshoot cannot be clawed back
+                deadline *= 0.6
             aovs = self.render_frame(
                 frame,
-                deadline=max(
-                    (remaining - overhead_est * frames_left) / frames_left,
-                    1.0,
-                ),
+                deadline=deadline,
                 checkpoint_path=ckpt,
             )
             if os.path.exists(ckpt):

@@ -223,7 +223,8 @@ def test_animation_budget_split_across_frames(tmp_path, monkeypatch):
     r.initialize_and_render()
 
     assert len(seen) == 3
-    np.testing.assert_allclose(seen[0], 90.0 / 3)
+    # frame 0 is under-allocated x0.6 (finalize overhead unknown yet)
+    np.testing.assert_allclose(seen[0], 0.6 * 90.0 / 3)
     np.testing.assert_allclose(seen[1], (90.0 - 10.0) / 2)  # early finish rolls over
     np.testing.assert_allclose(seen[2], 90.0 - 10.0 - seen[1])
 
@@ -262,10 +263,33 @@ def test_animation_budget_reserves_frame_overhead(tmp_path, monkeypatch):
     r.initialize_and_render()
 
     assert len(seen) == 3
-    np.testing.assert_allclose(seen[0], 90.0 / 3)  # overhead not yet known
-    # frame 1: 55 s left, reserve 5 s overhead for each remaining frame
-    np.testing.assert_allclose(seen[1], (90.0 - 35.0 - 2 * 5.0) / 2)
-    # frame 2: 27.5 s left, reserve one 5 s overhead
-    np.testing.assert_allclose(seen[2], 90.0 - 35.0 - 27.5 - 5.0)
+    # frame 0: overhead not yet known -> x0.6 under-allocation
+    np.testing.assert_allclose(seen[0], 0.6 * 90.0 / 3)
+    # frame 1: 67 s left, reserve 5 s overhead for each remaining frame
+    np.testing.assert_allclose(seen[1], (90.0 - 23.0 - 2 * 5.0) / 2)
+    # frame 2: 33.5 s left, reserve one 5 s overhead
+    np.testing.assert_allclose(seen[2], 90.0 - 23.0 - 33.5 - 5.0)
     # the whole animation fits the 90 s budget
     assert clock["t"] - 1000.0 <= 90.0 + 1e-6
+
+
+def test_first_batch_sized_to_fit_tight_deadline():
+    """A carried per-spp cost estimate (from the previous frame) sizes
+    the indivisible FIRST batch down to fit a tight deadline: after
+    frame 0's finalize overhead eats the budget, frame 1 renders ~1 spp
+    instead of a full 50+ s spp batch (measured cause of a 334 s run
+    against a 300 s contest budget)."""
+    # masked engine (CPU auto-resolution)
+    r = _mk_renderer(RenderMode.DEFAULT, spp=8, size=16)
+    r._est_spp_s = 1000.0  # "each spp takes 1000 s"
+    aovs = r.render_frame(0, deadline=1.0)
+    assert aovs["spp_done"] == 1
+
+    # wavefront engine
+    import dataclasses
+
+    r2 = _mk_renderer(RenderMode.DEFAULT, spp=8, size=16)
+    r2.option = dataclasses.replace(r2.option, engine="wavefront")
+    r2._est_spp_chunk = 1000.0
+    aovs2 = r2.render_frame(0, deadline=1.0)
+    assert aovs2["spp_done"] == 1
