@@ -116,6 +116,7 @@ def wavefront_render(
     sample_counts: Optional[jnp.ndarray] = None,
     sample_base: Optional[jnp.ndarray] = None,
     firefly_clamp: float = 0.0,
+    light_ris: int = 0,
 ) -> WavefrontFilm:
     """Render width*height pixels at `spp` samples with a `lanes`-wide
     refilling pool. Returns per-pixel SUMS (divide by spp outside).
@@ -379,9 +380,26 @@ def wavefront_render(
 
         if use_nee:
             # ---- NEE shadow branch (rt.h:218-260 / 340-380) ----
-            l_pos, l_normal, l_emission, l_pdf, l_valid, st = sample_light(
-                frame, st
-            )
+            if light_ris >= 2:
+                # RIS over light_ris candidates: pdf_eff divides the
+                # contribution, pdf_src feeds the MIS balance weight
+                # (see sample_light_ris docstring for why that split
+                # is unbiased)
+                from henjou_tpu.sampling.light_sample import (
+                    sample_light_ris,
+                )
+
+                (
+                    l_pos, l_normal, l_emission, l_pdf_eff, l_pdf,
+                    l_valid, st,
+                ) = sample_light_ris(
+                    frame, st, hit.position, n, light_ris
+                )
+            else:
+                l_pos, l_normal, l_emission, l_pdf, l_valid, st = (
+                    sample_light(frame, st)
+                )
+                l_pdf_eff = l_pdf
             to_light = l_pos - hit.position
             l_dist = jnp.maximum(length(to_light), 1e-12)
             l_dir = to_light / l_dist[:, None]
@@ -409,10 +427,15 @@ def wavefront_render(
             contrib_nee = (
                 thr
                 * f_l
-                * (g * cos1 / jnp.maximum(l_pdf, 1e-12) * w_light)[:, None]
+                * (g * cos1 / jnp.maximum(l_pdf_eff, 1e-12) * w_light)[
+                    :, None
+                ]
                 * l_emission
             )
-            ok = alive & ~emit_seg & l_valid & ~shadow_blocked & (l_pdf > 0.0)
+            ok = (
+                alive & ~emit_seg & l_valid & ~shadow_blocked
+                & (l_pdf_eff > 0.0)
+            )
             lte = lte + jnp.where(ok[:, None], contrib_nee, 0.0)
 
         if use_mis and not mis_single:

@@ -106,6 +106,15 @@ class RenderOption:
     # every power-of-two prefix, lower RMSE per sample in the 32-500
     # spp contest regime (measured in BASELINE.md round 4).
     sampler: str = "cmj"
+    # RIS/WRS next-event light sampling (wavefront engine only): draw
+    # this many light candidates per bounce, weight each by unshadowed
+    # geometric contribution at the shading point, keep one, then cast
+    # the single shadow ray as usual (sampling/light_sample.py
+    # sample_light_ris). 0/1 = off (exactly one candidate, reference
+    # stream parity). Unbiased for any m; pure dense VPU cost, no extra
+    # traces. The reference draws exactly one uniform candidate
+    # (light_sample.h:40).
+    light_ris: int = 0
 
 
 def _load_fps_txt(path: str):
@@ -224,4 +233,5 @@ def load_render_option(filepath: str) -> RenderOption:
         adaptive_metric=adaptive_metric,
         firefly_clamp=float(tpu.get("firefly_clamp", -1.0)),
         sampler=sampler,
+        light_ris=int(tpu.get("light_ris", 0)),
     )

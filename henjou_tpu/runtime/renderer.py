@@ -1117,6 +1117,7 @@ class Renderer:
         stamp = time.strftime("%Y%m%d-%H%M%S") + "_" if opt.use_date else ""
 
         written = []
+        self._prewarm_finalize()
         # measured non-render overhead (scene flatten + accel refresh +
         # denoise/finalize + PNG write) of the previous frame, reserved
         # off every later frame's deadline so the WHOLE animation lands
@@ -1299,6 +1300,56 @@ class Renderer:
                 out = np.asarray(upscale2x(jnp.asarray(out)))
             return out
         return aovs["color"]
+
+    def _prewarm_finalize(self):
+        """Compile the finalize pipeline (SVGF à-trous, + 2x upscale for
+        that mode) on zero AOVs at the real output shapes in a daemon
+        thread, so the compile overlaps frame 0's render instead of
+        running serially after it (measured: 107 s of frame-0 finalize
+        overhead at 1080p on a cold cache, most of it this compile —
+        budget that now buys spp). XLA compilation is host-side and
+        jax's jit cache de-duplicates concurrent compiles of the same
+        computation, so the real _finalize call either finds the cache
+        warm or blocks on the in-flight compile."""
+        opt = self.option
+        if opt.render_mode not in (
+            RenderMode.DENOISE,
+            RenderMode.DENOISE_UPSCALE2X,
+            RenderMode.DENOISE_TEMPORAL,
+        ):
+            return
+        w, h = opt.image_width, opt.image_height
+        if opt.render_mode == RenderMode.DENOISE_UPSCALE2X:
+            w, h = w // 2, h // 2
+        engine = opt.engine
+        if engine == "auto":
+            engine = (
+                "wavefront" if jax.devices()[0].platform != "cpu"
+                else "masked"
+            )
+
+        def _prewarm():
+            try:
+                z3 = jnp.zeros((h, w, 3), jnp.float32)
+                aovs = {"color": z3, "albedo": z3, "normal": z3}
+                if engine == "wavefront":
+                    # wavefront films carry the variance AOV -> SVGF path
+                    aovs["variance"] = jnp.zeros((h, w), jnp.float32)
+                out = Renderer._spatial_denoise(aovs)
+                if opt.render_mode == RenderMode.DENOISE_UPSCALE2X:
+                    from henjou_tpu.post.denoise import upscale2x
+
+                    out = upscale2x(out)
+                jax.block_until_ready(out)
+                log.info("finalize prewarm done (%dx%d)", w, h)
+            except Exception:  # pragma: no cover - prewarm is best-effort
+                log.exception("finalize prewarm failed (harmless)")
+
+        import threading
+
+        threading.Thread(
+            target=_prewarm, name="finalize-prewarm", daemon=True
+        ).start()
 
     @staticmethod
     def _spatial_denoise(aovs: dict):

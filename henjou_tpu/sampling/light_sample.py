@@ -157,6 +157,86 @@ def sample_light(frame: FrameScene, state: CMJState):
     return position, normal, emission, pdf, valid, state
 
 
+def sample_light_ris(
+    frame: FrameScene,
+    state: CMJState,
+    shade_pos: jnp.ndarray,
+    shade_n: jnp.ndarray,
+    m: int,
+):
+    """Resampled importance sampling (RIS/WRS, Talbot 2005) over `m`
+    independent light candidates: each lane draws m samples from the
+    base strategy (sample_light — uniform or power-weighted selection),
+    weights each by its UNSHADOWED geometric contribution at the lane's
+    shading point, and keeps one proportional to weight. No extra
+    traces — the single shadow ray is cast by the caller as usual; the
+    m-fold cost is pure dense VPU math plus m-1 extra sampler draws.
+
+    Target function p_hat = luminance(emission) * |cos_surf| *
+    |cos_light| / dist^2 — the same absolute cosines the NEE
+    contribution uses (rt.h:240-247 takes fabs of both), so p_hat > 0
+    wherever the contribution is nonzero and the RIS estimator stays
+    unbiased. The BSDF factor is deliberately left out of the target
+    (m uber-material evaluations per bounce would dominate the win).
+
+    Returns (position[R,3], normal[R,3], emission[R,3], pdf_eff[R],
+    pdf_src[R], valid[R], state):
+
+    - pdf_eff: divide the contribution by this (RIS effective density
+      p_hat_k * m / sum_j w_j).
+    - pdf_src: the chosen candidate's PLAIN area pdf, for the MIS
+      balance weight. MIS weights need only be a partition of unity in
+      the sample point for unbiasedness (Veach 9.2.4), so the weights
+      keep using the closed-form base pdf on both branches — the RIS
+      technique's true marginal has no closed form. Slightly
+      suboptimal weighting, zero bias.
+
+    The reference has no analogue (light_sample.h draws exactly one
+    uniform candidate); this is the TPU answer to many-light variance
+    where the RT-core budget would instead buy more shadow rays.
+    """
+    r = shade_pos.shape[0]
+    cand = []
+    for _ in range(m):
+        pos, nrm, emi, pdf, valid, state = sample_light(frame, state)
+        cand.append((pos, nrm, emi, pdf))
+    pos = jnp.stack([c[0] for c in cand], 1)  # [R,m,3]
+    nrm = jnp.stack([c[1] for c in cand], 1)
+    emi = jnp.stack([c[2] for c in cand], 1)
+    pdf = jnp.stack([c[3] for c in cand], 1)  # [R,m]
+
+    to_l = pos - shade_pos[:, None, :]
+    d2 = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-12)
+    ldir = to_l / jnp.sqrt(d2)[..., None]
+    cos1 = jnp.abs(jnp.sum(ldir * shade_n[:, None, :], -1))
+    cos2 = jnp.abs(jnp.sum(-ldir * nrm, -1))
+    lum = emi @ jnp.asarray(_LUM, jnp.float32)
+    p_hat = lum * cos1 * cos2 / d2  # [R,m]
+
+    w = jnp.where(pdf > 0.0, p_hat / jnp.maximum(pdf, 1e-30), 0.0)
+    wsum = jnp.sum(w, axis=1)  # [R]
+    u, state = cmj_1d(state)
+    cdf = jnp.cumsum(w, axis=1)
+    k = jnp.sum((cdf < (u * wsum)[:, None]).astype(jnp.int32), axis=1)
+    k = jnp.clip(k, 0, m - 1)
+
+    onehot = (
+        k[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)  # [R,m]
+    position = jnp.sum(onehot[..., None] * pos, axis=1)
+    normal = jnp.sum(onehot[..., None] * nrm, axis=1)
+    emission = jnp.sum(onehot[..., None] * emi, axis=1)
+    p_hat_k = jnp.sum(onehot * p_hat, axis=1)
+    pdf_src = jnp.sum(onehot * pdf, axis=1)
+
+    # effective density of the resampled draw; wsum==0 means every
+    # candidate had zero unshadowed contribution — the lane's correct
+    # estimate is exactly 0, signalled via valid=False
+    pdf_eff = p_hat_k * m / jnp.maximum(wsum, 1e-30)
+    valid = valid & (wsum > 0.0)
+    return position, normal, emission, pdf_eff, pdf_src, valid, state
+
+
 def light_pdf(frame: FrameScene, prim: jnp.ndarray) -> jnp.ndarray:
     """Reverse pdf for MIS (getLightPDF, light_sample.h:77-92): the area
     pdf of having light-sampled the triangle actually hit by a BSDF ray —

@@ -36,7 +36,7 @@ W, H = 1280, 720
 
 def _renderer(
     adaptive: bool, max_spp: int, firefly_clamp: float = 0.0,
-    sampler: str = "cmj", metric: str = "relstd",
+    sampler: str = "cmj", metric: str = "relstd", light_ris: int = 0,
 ):
     from henjou_tpu.runtime.options import RenderOption
     from henjou_tpu.runtime.renderer import Renderer
@@ -45,7 +45,7 @@ def _renderer(
     opt = RenderOption(
         image_width=W, image_height=H, max_spp=max_spp, spp_batch=16,
         engine="wavefront", adaptive=adaptive, firefly_clamp=firefly_clamp,
-        sampler=sampler, adaptive_metric=metric,
+        sampler=sampler, adaptive_metric=metric, light_ris=light_ris,
         scene_sky_default=(0.35, 0.45, 0.62),
         camera_position=(0.0, 6.0, -16.5),
         camera_direction=(0.0, -0.28, 1.0),
@@ -112,6 +112,44 @@ def main():
 
     if mode == "tune":
         _tune()
+        return
+
+    if mode == "ris":
+        # RIS/WRS next-event light sampling: equal-BUDGET uniform renders
+        # at m=0 (plain) vs m in {4, 8} candidates; the win must show in
+        # RMSE-per-second (RIS costs dense VPU math per bounce, so fewer
+        # spp land in the same wall time).
+        import jax.numpy as jnp
+
+        from henjou_tpu.post.denoise import denoise_atrous_var
+
+        gt = np.load(GT_PATH)["color"]
+        print(f"ris: budget {budget:.0f}s", flush=True)
+        for m in (0, 4, 8):
+            r = _renderer(adaptive=False, max_spp=100000,
+                          firefly_clamp=64.0, light_ris=m)
+            if m == 0:
+                print(
+                    f"  scene emissive prims: {r.device_scene.num_lights}",
+                    flush=True,
+                )
+            t0 = time.monotonic()
+            aovs = r.render_frame(0, deadline=budget)
+            wall = time.monotonic() - t0
+            raw = aovs["color"]
+            demod = np.asarray(
+                denoise_atrous_var(
+                    jnp.asarray(raw), jnp.asarray(aovs["albedo"]),
+                    jnp.asarray(aovs["normal"]),
+                    jnp.asarray(aovs["variance"]), demodulate=True,
+                )
+            )
+            print(
+                f"  m={m}: {wall:6.1f}s  spp {aovs['spp_done']:4d}  "
+                f"RMSE raw {rmse(raw, gt):.5f}  svgf+demod "
+                f"{rmse(demod, gt):.5f}",
+                flush=True,
+            )
         return
 
     gt = np.load(GT_PATH)["color"]
