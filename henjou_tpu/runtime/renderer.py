@@ -625,6 +625,11 @@ class Renderer:
                 "wavefront engine only"
             )
         if engine == "wavefront":
+            if build_ms > 1000.0:
+                log.info(
+                    "frame %d setup: flatten+accel %.1fs",
+                    frame, build_ms / 1e3,
+                )
             return self._render_frame_wavefront(
                 frame_scene, accel, cam, width, height, frame,
                 deadline=deadline, checkpoint_path=checkpoint_path,
@@ -672,8 +677,17 @@ class Renderer:
                 and est_spp_s is not None
             ):
                 left = deadline - (time.monotonic() - t0)
-                fit = int(left / max(est_spp_s, 1e-9))
-                cur = max(1, min(cur, fit))
+                fit = max(1, int(left / max(est_spp_s, 1e-9)))
+                if fit < cur:
+                    # downsize only to an already-compiled spp variant
+                    # (spp_count is a static jit arg; see the wavefront
+                    # path's note on cold-compile cost)
+                    compiled = [
+                        s for s in getattr(self, "_spp_sizes_masked", ())
+                        if s <= fit
+                    ]
+                    if compiled:
+                        cur = max(compiled)
             if (
                 deadline is not None
                 and spp_done > 0
@@ -719,6 +733,9 @@ class Renderer:
                 per if est_spp_s is None else 0.5 * est_spp_s + 0.5 * per
             )
             self._est_spp_s = est_spp_s
+            self._spp_sizes_masked = set(
+                getattr(self, "_spp_sizes_masked", ())
+            ) | {cur}
             spp_done += cur
             if checkpoint_path:
                 np.savez(
@@ -952,10 +969,24 @@ class Renderer:
                 and est_spp_chunk is not None
             ):
                 left = deadline - (time.monotonic() - t0)
-                fit = int(
-                    left / max(est_spp_chunk * len(chunks), 1e-9)
+                fit = max(
+                    1,
+                    int(left / max(est_spp_chunk * len(chunks), 1e-9)),
                 )
-                cur = max(1, min(cur, fit))
+                if fit < cur:
+                    # only downsize to an spp the engine has ALREADY
+                    # compiled this process: spp is a static jit arg and
+                    # a fresh variant costs ~1 min of Mosaic/XLA compile
+                    # on the TPU backend (measured: a fit-sized 1-spp
+                    # first batch took 59 s — 55 s compile + 4 s render —
+                    # the same wall as just running the compiled 16-spp
+                    # batch for 16x the samples)
+                    compiled = [
+                        s for s in getattr(self, "_spp_sizes", ())
+                        if s <= fit
+                    ]
+                    if compiled:
+                        cur = max(compiled)
             chunks_done = 0
             for base, count in chunks:
                 if (
@@ -998,6 +1029,9 @@ class Renderer:
                     else 0.5 * est_spp_chunk + 0.5 * per
                 )
                 self._est_spp_chunk = est_spp_chunk
+                self._spp_sizes = set(
+                    getattr(self, "_spp_sizes", ())
+                ) | {cur}
             if stop:
                 log.warning(
                     "frame %d: deadline hit at %d/%d spp (+%d/%d chunks of "
@@ -1169,7 +1203,11 @@ class Renderer:
             )
             if os.path.exists(ckpt):
                 os.remove(ckpt)  # frame complete
+            t_fin = time.monotonic()
             img = self._finalize(aovs, frame=frame)
+            fin_s = time.monotonic() - t_fin
+            if fin_s > 1.0:
+                log.info("frame %d finalize: %.1fs", frame, fin_s)
             u8 = np.asarray(float_to_srgb_u8(jnp.asarray(img)))
             name = f"{stamp}{opt.image_name}_{frame:03d}.png"  # renderer.h:1291-1301
             path = os.path.join(opt.image_directory, name)

@@ -278,12 +278,24 @@ def test_first_batch_sized_to_fit_tight_deadline():
     the indivisible FIRST batch down to fit a tight deadline: after
     frame 0's finalize overhead eats the budget, frame 1 renders ~1 spp
     instead of a full 50+ s spp batch (measured cause of a 334 s run
-    against a 300 s contest budget)."""
+    against a 300 s contest budget).
+
+    Downsizing only picks spp variants ALREADY compiled this process
+    (spp is a static jit arg; a fresh variant costs ~1 min of compile on
+    the TPU backend — worse than just running the compiled batch)."""
     # masked engine (CPU auto-resolution)
     r = _mk_renderer(RenderMode.DEFAULT, spp=8, size=16)
     r._est_spp_s = 1000.0  # "each spp takes 1000 s"
+    r._spp_sizes_masked = {1, 8}  # a 1-spp variant is compiled
     aovs = r.render_frame(0, deadline=1.0)
     assert aovs["spp_done"] == 1
+
+    # without a compiled small variant, the full batch runs (compile
+    # would dominate any fit-sized first batch)
+    r1 = _mk_renderer(RenderMode.DEFAULT, spp=8, size=16)
+    r1._est_spp_s = 1000.0
+    aovs1 = r1.render_frame(0, deadline=1.0)
+    assert aovs1["spp_done"] == 8
 
     # wavefront engine
     import dataclasses
@@ -291,5 +303,6 @@ def test_first_batch_sized_to_fit_tight_deadline():
     r2 = _mk_renderer(RenderMode.DEFAULT, spp=8, size=16)
     r2.option = dataclasses.replace(r2.option, engine="wavefront")
     r2._est_spp_chunk = 1000.0
+    r2._spp_sizes = {1, 8}
     aovs2 = r2.render_frame(0, deadline=1.0)
     assert aovs2["spp_done"] == 1
