@@ -120,7 +120,14 @@ def denoise_atrous_var(
         alb_d = jnp.where(albedo > 1e-3, albedo, 1.0)
         color = color / alb_d
         # variance column tracks the MODULATED luminance; rescale to the
-        # illumination domain (lum is linear in each channel scale)
+        # illumination domain (lum is linear in each channel scale).
+        # Approximation note (ADVICE r4): dividing by lum(albedo)^2 is
+        # exact only for channel-uniform (gray) albedo — a strongly
+        # saturated albedo mis-scales the luminance edge-stop, and the
+        # per-channel >1e-3 pass-through can mix demodulated and raw
+        # channels within one pixel. Kept as the tuned heuristic: the
+        # round-4 RMSE sweeps that chose these defaults ran with exactly
+        # this rescale, on scenes with saturated albedos.
         lum_a = (
             0.2126 * alb_d[..., 0]
             + 0.7152 * alb_d[..., 1]

@@ -186,6 +186,25 @@ def load_render_option(filepath: str) -> RenderOption:
         raise ValueError(
             f"TPU.adaptive_metric must be relstd|std, got {adaptive_metric!r}"
         )
+    light_ris = int(tpu.get("light_ris", 0))
+    if not (0 <= light_ris <= 64):
+        # <2 means off; each candidate stacks an [R,m,3] array per bounce,
+        # so cap m at a sane bound instead of letting 10000 OOM the chip
+        raise ValueError(
+            f"TPU.light_ris must be in [0, 64] (0/1 = off), got {light_ris}"
+        )
+    seed = int(tpu.get("seed", 0))
+    if seed & 0x80000000:
+        # bit 31 of the sampler seed is reserved for the Sobol tag
+        # (sampling/cmj.py SOBOL_SEED_FLAG); the renderer masks it off on
+        # the cmj path, which would silently alias this seed with its
+        # low-31-bit counterpart — surface that instead of hiding it
+        log.warning(
+            "TPU.seed 0x%08x has bit 31 set (reserved for the sampler "
+            "tag); the effective cmj seed is 0x%08x",
+            seed & 0xFFFFFFFF,
+            seed & 0x7FFFFFFF,
+        )
 
     # config snapshot side-channel (render_json_loader.h:204-218)
     if bool(opt.get("save_renderOption", False)):
@@ -225,7 +244,7 @@ def load_render_option(filepath: str) -> RenderOption:
         save_render_option=bool(opt.get("save_renderOption", False)),
         lut_path=str(j.get("LUT", {}).get("LUT_path", "")),
         spp_batch=int(tpu.get("spp_batch", 16)),
-        seed=int(tpu.get("seed", 0)),
+        seed=seed,
         integrator=integrator,
         engine=engine,
         mis_mode=mis_mode,
@@ -233,5 +252,5 @@ def load_render_option(filepath: str) -> RenderOption:
         adaptive_metric=adaptive_metric,
         firefly_clamp=float(tpu.get("firefly_clamp", -1.0)),
         sampler=sampler,
-        light_ris=int(tpu.get("light_ris", 0)),
+        light_ris=light_ris,
     )

@@ -233,6 +233,13 @@ class Renderer:
         _flags = getattr(self, "_bsdf_flags", {})
         self.bsdf_eval = lambda hit, wo, wi: bsdf_eval(hit, wo, wi, _lut, **_flags)
         self.bsdf_pdf = bsdf_pdf
+        # trace-time sampler gate: only compile the Owen-Sobol branch into
+        # the draw sites when this renderer's options actually select it
+        # (sampling/cmj.py set_sobol_enabled); the default cmj path stays
+        # free of the discarded ~100-op/lane Sobol pair per draw
+        from henjou_tpu.sampling.cmj import set_sobol_enabled
+
+        set_sobol_enabled(self.option.sampler == "sobol")
         self._step = self._make_step()
         self._frame_build = jax.jit(build_frame_scene)
         from henjou_tpu.accel.lbvh import build_lbvh

@@ -34,6 +34,25 @@ CMJ_N = 4
 # reference CMJ sampler (the oracle test pins this).
 SOBOL_SEED_FLAG = 0x80000000
 
+# Trace-time gate for the Sobol branch in cmj_2d. The runtime tag bit
+# only SELECTS between the two streams; without this gate the default
+# sampler="cmj" path would still compute the ~100-op/lane Sobol pair on
+# every draw of every bounce and discard it. The Renderer sets this from
+# options before tracing; direct users of tagged seeds must call
+# set_sobol_enabled(True) first (states without the tag are unaffected
+# either way).
+_SOBOL_TRACE_ENABLED = False
+
+
+def set_sobol_enabled(on: bool) -> None:
+    global _SOBOL_TRACE_ENABLED
+    _SOBOL_TRACE_ENABLED = bool(on)
+
+
+def sobol_enabled() -> bool:
+    return _SOBOL_TRACE_ENABLED
+
+
 _U32 = jnp.uint32
 
 
@@ -148,11 +167,12 @@ def _cmj(index, scramble):
 def cmj_2d(state: CMJState):
     """Draw a 2D sample; returns ((x, y), new_state). reference: cmj.h:119-128.
 
-    States tagged with SOBOL_SEED_FLAG take the padded Owen-scrambled
-    Sobol draw instead (sampling/sobol.py) — both primitives are pure
-    u32 VPU hashing (~100 ops/lane, microseconds against a bounce
-    iteration), so computing both and selecting keeps every draw site
-    a single traced code path."""
+    When the trace-time gate is on (set_sobol_enabled), states tagged
+    with SOBOL_SEED_FLAG take the padded Owen-scrambled Sobol draw
+    instead (sampling/sobol.py) — both primitives are pure u32 VPU
+    hashing, and selecting keeps every draw site a single traced code
+    path. With the gate off (the default, sampler="cmj") the Sobol pair
+    is never traced, so the bit-exact reference path stays free."""
     index = state.n_spp % _u32(CMJ_M * CMJ_N)
     scramble = xxhash32(
         state.n_spp // _u32(CMJ_M * CMJ_N),
@@ -161,15 +181,16 @@ def cmj_2d(state: CMJState):
         state.scramble,
     )
     fx, fy = _cmj(index, scramble)
-    sx, sy = sobol_pair(
-        state.n_spp,
-        state.image_idx,
-        state.depth,
-        state.scramble & _u32(~SOBOL_SEED_FLAG & 0xFFFFFFFF),
-    )
-    tag = (state.scramble & _u32(SOBOL_SEED_FLAG)) != _u32(0)
-    fx = jnp.where(tag, sx, fx)
-    fy = jnp.where(tag, sy, fy)
+    if _SOBOL_TRACE_ENABLED:
+        sx, sy = sobol_pair(
+            state.n_spp,
+            state.image_idx,
+            state.depth,
+            state.scramble & _u32(~SOBOL_SEED_FLAG & 0xFFFFFFFF),
+        )
+        tag = (state.scramble & _u32(SOBOL_SEED_FLAG)) != _u32(0)
+        fx = jnp.where(tag, sx, fx)
+        fy = jnp.where(tag, sy, fy)
     new_state = state._replace(depth=state.depth + _u32(1))
     return jnp.stack([fx, fy], axis=-1), new_state
 

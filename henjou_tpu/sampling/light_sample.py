@@ -198,12 +198,13 @@ def sample_light_ris(
     r = shade_pos.shape[0]
     cand = []
     for _ in range(m):
-        pos, nrm, emi, pdf, valid, state = sample_light(frame, state)
-        cand.append((pos, nrm, emi, pdf))
+        pos, nrm, emi, pdf, cvalid, state = sample_light(frame, state)
+        cand.append((pos, nrm, emi, pdf, cvalid))
     pos = jnp.stack([c[0] for c in cand], 1)  # [R,m,3]
     nrm = jnp.stack([c[1] for c in cand], 1)
     emi = jnp.stack([c[2] for c in cand], 1)
     pdf = jnp.stack([c[3] for c in cand], 1)  # [R,m]
+    vld = jnp.stack([c[4] for c in cand], 1)  # [R,m] bool
 
     to_l = pos - shade_pos[:, None, :]
     d2 = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-12)
@@ -231,9 +232,13 @@ def sample_light_ris(
 
     # effective density of the resampled draw; wsum==0 means every
     # candidate had zero unshadowed contribution — the lane's correct
-    # estimate is exactly 0, signalled via valid=False
+    # estimate is exactly 0, signalled via valid=False. Validity is the
+    # CHOSEN candidate's flag (gathered via the same onehot), not the
+    # last loop iteration's — today sample_light's valid is lane-uniform
+    # ("scene has lights"), but this stays correct if it ever isn't.
     pdf_eff = p_hat_k * m / jnp.maximum(wsum, 1e-30)
-    valid = valid & (wsum > 0.0)
+    valid_k = jnp.sum(onehot * vld.astype(jnp.float32), axis=1) > 0.5
+    valid = valid_k & (wsum > 0.0)
     return position, normal, emission, pdf_eff, pdf_src, valid, state
 
 

@@ -10,12 +10,23 @@ measured variance win over CMJ past 16 spp.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from henjou_tpu.sampling.cmj import (
     SOBOL_SEED_FLAG,
     cmj_2d,
     make_cmj_state,
+    set_sobol_enabled,
 )
+
+
+@pytest.fixture(autouse=True)
+def _enable_sobol_gate():
+    # the tag bit only selects between streams when the trace-time gate
+    # is on (Renderer.build sets it from options; tests set it here)
+    set_sobol_enabled(True)
+    yield
+    set_sobol_enabled(False)
 from henjou_tpu.sampling.sobol import (
     nested_uniform_scramble,
     reverse_bits_u32,
