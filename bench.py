@@ -155,6 +155,91 @@ def main():
         except Exception as e:  # pragma: no cover - detail row best-effort
             print(f"# contest detail unavailable: {e}", file=sys.stderr)
 
+    # north-star metric (round-4 VERDICT #3): image quality per second.
+    # One 60 s production render (Denoise pipeline) of the contest scene
+    # at 720p, RMSE vs the pinned 512-spp truth (tests/golden/
+    # gt_rtcamp720.npz, sha256 1c22c28b...). Emitted as a SECOND JSON
+    # line so BENCH_r*.json carries both series.
+    if os.environ.get("HENJOU_BENCH_QUALITY", "1") == "1":
+        try:
+            _quality_row(budget_s=60.0)
+        except Exception as e:  # pragma: no cover - row best-effort
+            print(f"# quality row unavailable: {e}", file=sys.stderr)
+
+
+# Round-4 (a18d1ff+advisor) production pipeline measured at this exact
+# workload on the real chip (60 s post-warmup, 720p contest scene,
+# wavefront one-sample MIS + SVGF sl=1.5 demod: 32 spp, raw 0.12411,
+# svgf 0.05858): the quality-series baseline. vs_baseline > 1 means
+# lower RMSE than round 4; the squared ratio is the equivalent
+# sample-efficiency factor (RMSE ~ 1/sqrt(spp) raw), on stderr.
+BASELINE_RMSE_60S = 0.05858
+
+
+def _quality_row(budget_s: float = 60.0):
+    import jax.numpy as jnp_  # noqa: F401 (jnp already imported)
+    from henjou_tpu.post.denoise import denoise_atrous_var
+    from henjou_tpu.runtime.options import RenderOption
+    from henjou_tpu.runtime.renderer import Renderer
+    from henjou_tpu.scene.testscenes import rtcamp_scene
+
+    gt_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", "gt_rtcamp720.npz",
+    )
+    gt = np.load(gt_path)["color"]
+
+    opt = RenderOption(
+        image_width=1280, image_height=720, max_spp=100000, spp_batch=16,
+        engine="wavefront", firefly_clamp=64.0,
+        scene_sky_default=(0.35, 0.45, 0.62),
+        camera_position=(0.0, 6.0, -16.5),
+        camera_direction=(0.0, -0.28, 1.0),
+        camera_fov=float(np.radians(40.0)),
+    )
+    r = Renderer(option=opt)
+    r.set_scene(rtcamp_scene())
+    r.build()
+
+    def _denoise(aovs):
+        return np.asarray(
+            denoise_atrous_var(
+                jnp.asarray(aovs["color"]), jnp.asarray(aovs["albedo"]),
+                jnp.asarray(aovs["normal"]), jnp.asarray(aovs["variance"]),
+                demodulate=True,
+            )
+        )
+
+    # warmup: absorb jit compiles (one batch is ~150 s cold on axon) and
+    # calibrate the renderer's per-spp cost model, so the budgeted run
+    # below measures the steady-state pipeline, not compile luck.
+    _denoise(r.render_frame(0, deadline=0.5))
+
+    t0 = time.perf_counter()
+    aovs = r.render_frame(0, deadline=budget_s)
+    wall = time.perf_counter() - t0
+    den = _denoise(aovs)
+    rmse = float(np.sqrt(np.mean((den - gt) ** 2)))
+    raw_rmse = float(np.sqrt(np.mean((aovs["color"] - gt) ** 2)))
+    print(
+        json.dumps(
+            {
+                "metric": "rtcamp720_60s_svgf_rmse",
+                "value": round(rmse, 5),
+                "unit": "rmse_linear_hdr",
+                "vs_baseline": round(BASELINE_RMSE_60S / rmse, 3),
+            }
+        )
+    )
+    eff = (BASELINE_RMSE_60S / rmse) ** 2
+    print(
+        f"# quality detail: {aovs['spp_done']} spp in {wall:.1f}s "
+        f"(budget {budget_s:.0f}s), raw RMSE {raw_rmse:.5f}, svgf+demod "
+        f"{rmse:.5f}; equivalent sample-efficiency vs r4 baseline "
+        f"{eff:.2f}x",
+        file=sys.stderr,
+    )
+
 
 def _contest_detail(reps: int = 2):
     from henjou_tpu.accel.pallas_binned import (
