@@ -316,7 +316,8 @@ def build_binned_from_order(
     )
 
 
-def _tile_worklists(bc, ox, oy, oz, dx, dy, dz, tmin, tmax, rt, subt=1):
+def _tile_worklists(bc, ox, oy, oz, dx, dy, dz, tmin, tmax, rt, subt=1,
+                    max_entries=0):
     """Dense XLA prepass: per-tile (group worklist, t_enter, count) plus —
     for grouped scenes — a per-(tile, cluster) need BITMASK.
 
@@ -431,6 +432,12 @@ def _tile_worklists(bc, ox, oy, oz, dx, dy, dz, tmin, tmax, rt, subt=1):
     tkey = jnp.where(need, t_enter, _BIG)
     perm, tent = _bitonic_rows(tkey)
     count = jnp.sum(need.astype(jnp.int32), axis=1)
+    if max_entries:
+        # truncated walk (two-phase tmax probing): visit only the
+        # nearest max_entries groups per tile. NOT a correct closest-hit
+        # — hits beyond the truncation are missed; callers use the
+        # result only as a conservative per-ray tmax upper bound.
+        count = jnp.minimum(count, max_entries)
 
     # FLAT 1-D worklists: 2-D SMEM prefetch operands pad their minor dim
     # to 128 lanes (4x SMEM waste -> OOM at small ray tiles); 1-D don't
@@ -743,12 +750,15 @@ VMEM_ROWS_BUDGET = 4 << 20
 
 @functools.partial(
     jax.jit,
-    static_argnames=("any_hit", "interpret", "ray_tile", "subtiles", "ablate"),
+    static_argnames=(
+        "any_hit", "interpret", "ray_tile", "subtiles", "ablate",
+        "max_entries",
+    ),
 )
 def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
                      any_hit: bool = False, interpret: bool = False,
                      ray_tile: int = RAY_TILE, subtiles: int = 0,
-                     ablate: int = 0):
+                     ablate: int = 0, max_entries: int = 0):
     """Same contract as accel.bruteforce.intersect_bruteforce, with one
     extra requirement: ray directions must be UNIT LENGTH (the prepass's
     t_enter ordering and the scene-exit tmax clamp measure t in
@@ -809,7 +819,8 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
     ox, oy, oz = ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]
     dx, dy, dz = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
     worklist, tent, count, bits = _tile_worklists(
-        bc, ox, oy, oz, dx, dy, dz, tmin, tmax, RAY_TILE, subt
+        bc, ox, oy, oz, dx, dy, dz, tmin, tmax, RAY_TILE, subt,
+        max_entries=max_entries,
     )
 
     def cols(x):

@@ -115,6 +115,14 @@ class RenderOption:
     # traces. The reference draws exactly one uniform candidate
     # (light_sample.h:40).
     light_ris: int = 0
+    # multi-chip scaling (wavefront engine): "auto" spp-shards every
+    # chunk step over ALL visible devices when more than one exists —
+    # device k renders sample indices [spp + k*cur, spp + (k+1)*cur) of
+    # every pixel and the partial films psum over ICI
+    # (runtime/sharding.py semantics, wired into the production frame
+    # loop). "off" keeps the reference's single-device execution
+    # (renderer.h:1241 is one GPU) regardless of visible devices.
+    multichip: str = "auto"
 
 
 def _load_fps_txt(path: str):
@@ -193,6 +201,11 @@ def load_render_option(filepath: str) -> RenderOption:
         raise ValueError(
             f"TPU.light_ris must be in [0, 64] (0/1 = off), got {light_ris}"
         )
+    multichip = str(tpu.get("multichip", "auto"))
+    if multichip not in ("auto", "off"):
+        raise ValueError(
+            f"TPU.multichip must be auto|off, got {multichip!r}"
+        )
     seed = int(tpu.get("seed", 0))
     if seed & 0x80000000:
         # bit 31 of the sampler seed is reserved for the Sobol tag
@@ -253,4 +266,5 @@ def load_render_option(filepath: str) -> RenderOption:
         firefly_clamp=float(tpu.get("firefly_clamp", -1.0)),
         sampler=sampler,
         light_ris=light_ris,
+        multichip=multichip,
     )

@@ -865,6 +865,40 @@ class Renderer:
                 else 0.0
             )
         use_args = accel is not None  # see render_frame miscompile note
+
+        # production multi-chip (SURVEY.md §2.5 / §7 M8): when more than
+        # one device is visible and TPU.multichip != off, every chunk
+        # step spp-shards over ALL chips — device k renders sample
+        # indices [spp_done + k*cur, spp_done + (k+1)*cur) of each pixel
+        # and the per-pixel film SUMS psum over ICI (the counter-based
+        # samplers make index shifting exact sample partitioning). The
+        # reference's one launch (renderer.h:1241) is single-GPU; this
+        # is its mesh-scale replacement. Adaptive allocation stays
+        # single-device (per-pixel count lists are host-planned per
+        # batch; it is default-off and measured dominated, BASELINE.md).
+        shard_devs = 1
+        if use_args and opt.multichip == "auto" and not adaptive:
+            shard_devs = len(jax.devices())
+        if (
+            len(jax.devices()) > 1
+            and opt.multichip == "auto"
+            and adaptive
+            and not getattr(self, "_warned_adaptive_multichip", False)
+        ):
+            log.info(
+                "adaptive sampling: multichip spp sharding disabled "
+                "(per-batch count lists are planned on host)"
+            )
+            self._warned_adaptive_multichip = True
+        if shard_devs > 1 and not hasattr(self, "_mesh"):
+            from henjou_tpu.runtime.sharding import make_mesh
+
+            self._mesh = make_mesh()
+            log.info(
+                "multichip: spp sharding over %d devices (psum over ICI)",
+                shard_devs,
+            )
+
         if use_args:
             wf_key = (
                 "wf_args", width, height, integrator, lanes,
@@ -872,14 +906,11 @@ class Renderer:
                 getattr(accel, "num_super", 0),
                 getattr(accel, "num_clusters", 0),
                 light_accel is not None, mis_single, adaptive, clamp,
-                opt.light_ris,
+                opt.light_ris, shard_devs,
             )
             cache = getattr(self, "_wf_cache", {})
             if cache.get("key") != wf_key:
-                @functools.partial(
-                    jax.jit, static_argnames=("spp", "pixel_count")
-                )
-                def wf_args(
+                def wf_body(
                     frame_scene, accel, light_accel, cam, spp_offset, seed,
                     pixel_base, sample_counts, sample_base,
                     spp: int, pixel_count: int,
@@ -908,11 +939,57 @@ class Renderer:
                         light_ris=opt.light_ris,
                     )
 
+                if shard_devs > 1:
+                    from jax.sharding import PartitionSpec as P
+
+                    mesh = self._mesh
+
+                    @functools.partial(
+                        jax.jit, static_argnames=("spp", "pixel_count")
+                    )
+                    def wf_args(
+                        frame_scene, accel, light_accel, cam, spp_offsets,
+                        seed, pixel_base, sample_counts, sample_base,
+                        spp: int, pixel_count: int,
+                    ):
+                        # per-device spp offsets are the ONLY sharded
+                        # operand; the film pytree (per-pixel SUMS +
+                        # trace count — all associative) reduces over
+                        # ICI. check_vma off for the Pallas calls inside
+                        # (see runtime/sharding.py wavefront_sharded_step)
+                        @functools.partial(
+                            jax.shard_map,
+                            mesh=mesh,
+                            in_specs=(P("d"),),
+                            out_specs=P(),
+                            check_vma=False,
+                        )
+                        def body(offs):
+                            film = wf_body(
+                                frame_scene, accel, light_accel, cam,
+                                offs[0], seed, pixel_base, sample_counts,
+                                sample_base, spp=spp,
+                                pixel_count=pixel_count,
+                            )
+                            return jax.tree.map(
+                                lambda x: jax.lax.psum(x, "d"), film
+                            )
+
+                        return body(spp_offsets)
+                else:
+                    wf_args = jax.jit(
+                        wf_body, static_argnames=("spp", "pixel_count")
+                    )
+
                 cache = {"key": wf_key, "fn": wf_args}
                 self._wf_cache = cache
 
             def wf_step(spp_offset, spp: int, base: int, count: int,
                         counts=None, cbase=None):
+                if shard_devs > 1:
+                    spp_offset = jnp.uint32(spp_offset) + jnp.uint32(
+                        spp
+                    ) * jnp.arange(shard_devs, dtype=jnp.uint32)
                 return cache["fn"](
                     frame_scene, accel, light_accel, cam, spp_offset,
                     jnp.uint32(self._frame_seed(frame)), jnp.uint32(base),
@@ -969,7 +1046,9 @@ class Renderer:
         est_spp_chunk = getattr(self, "_est_spp_chunk", None)
         stop = False
         while spp_done < opt.max_spp and not stop:
-            cur = min(batch, opt.max_spp - spp_done)
+            # `cur` is the PER-DEVICE spp of this batch; one sharded step
+            # advances the global budget by cur * shard_devs
+            cur = min(batch, max(1, -(-(opt.max_spp - spp_done) // shard_devs)))
             if (
                 deadline is not None
                 and spp_done == 0
@@ -978,7 +1057,8 @@ class Renderer:
                 left = deadline - (time.monotonic() - t0)
                 fit = max(
                     1,
-                    int(left / max(est_spp_chunk * len(chunks), 1e-9)),
+                    int(left / max(est_spp_chunk * len(chunks), 1e-9))
+                    // shard_devs,
                 )
                 if fit < cur:
                     # only downsize to an spp the engine has ALREADY
@@ -1000,7 +1080,8 @@ class Renderer:
                     deadline is not None
                     and spp_done > 0
                     and est_spp_chunk is not None
-                    and time.monotonic() - t0 + est_spp_chunk * cur
+                    and time.monotonic() - t0
+                    + est_spp_chunk * cur * shard_devs
                     > deadline
                 ):
                     stop = True
@@ -1029,7 +1110,8 @@ class Renderer:
                 cnt[sl] += np.asarray(film.count)
                 traces += float(film.n_traces)
                 chunks_done += 1
-                per = (time.monotonic() - t_chunk) / cur
+                # per GLOBAL spp (sharded steps buy shard_devs x spp/wall)
+                per = (time.monotonic() - t_chunk) / (cur * shard_devs)
                 # fast decay: the first sample includes jit compile
                 est_spp_chunk = (
                     per if est_spp_chunk is None
@@ -1046,7 +1128,7 @@ class Renderer:
                     frame, spp_done, opt.max_spp, chunks_done, len(chunks),
                 )
                 break
-            spp_done += cur
+            spp_done += cur * shard_devs
             if checkpoint_path:
                 np.savez(
                     checkpoint_path + ".tmp.npz",
@@ -1063,10 +1145,11 @@ class Renderer:
                 break
         render_s = time.monotonic() - t0
         log.info(
-            "frame %d wavefront[%s%s]: %.2fs (%d spp budget, %.1f Mtraces, "
+            "frame %d wavefront[%s%s%s]: %.2fs (%d spp budget, %.1f Mtraces, "
             "%.1f Mrays/s)",
             frame, opt.mis_mode if integrator == "mis" else integrator,
             "+adaptive" if adaptive else "",
+            f" x{shard_devs}chips" if shard_devs > 1 else "",
             render_s, spp_done, traces / 1e6,
             traces / max(render_s, 1e-9) / 1e6,
         )
