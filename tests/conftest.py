@@ -26,5 +26,5 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: long-running test (excluded from the fast lane: "
-        "pytest -m 'not slow', <2 min)",
+        "pytest -m 'not slow', ~3-4 min)",
     )

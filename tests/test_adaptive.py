@@ -35,6 +35,7 @@ def _setup():
     return frame, sky, cam, bs, beval
 
 
+@pytest.mark.slow
 def test_flat_counts_match_uniform_and_two_pass_continuation():
     frame, sky, cam, bs, beval = _setup()
     w = h = 16

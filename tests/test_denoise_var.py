@@ -9,6 +9,7 @@ fixed-sigma à-trous (round-3 VERDICT missing #1 / ask #3).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from henjou_tpu.post.denoise import denoise_atrous, denoise_atrous_var
 
@@ -34,6 +35,7 @@ def _synthetic():
     return truth, noisy, albedo, normal, var
 
 
+@pytest.mark.slow
 def test_variance_guided_beats_fixed_sigma_on_heteroscedastic_noise():
     truth, noisy, albedo, normal, var = _synthetic()
     fixed = np.asarray(
@@ -69,6 +71,7 @@ def test_variance_guided_preserves_edges_when_converged():
     np.testing.assert_allclose(out, truth, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_demodulation_preserves_smooth_texture_under_heavy_noise():
     """Albedo demodulation: a smooth (sub-edge-stop) albedo texture under
     flat illumination must survive an aggressive blur — the illumination
@@ -96,6 +99,7 @@ def test_demodulation_preserves_smooth_texture_under_heavy_noise():
     assert rmse(demod) < 0.95 * rmse(plain), (rmse(demod), rmse(plain))
 
 
+@pytest.mark.slow
 def test_firefly_clamp_caps_sample_luminance():
     from henjou_tpu.bsdf.dispatch import bsdf_eval, bsdf_pdf, make_bsdf_sampler
     from henjou_tpu.integrator.payload import Sky
@@ -131,3 +135,38 @@ def test_firefly_clamp_caps_sample_luminance():
     assert float(np.asarray(tight.color).sum()) < float(
         np.asarray(plain.color).sum()
     )
+
+
+def test_guided_upscale_reconstructs_edges():
+    """upscale2x_guided (VERDICT r4 #6): a material edge blurred by the
+    half-res representation must come back sharper than plain bilinear
+    when the full-res albedo/normal guides carry the edge."""
+    import jax.numpy as jnp
+
+    from henjou_tpu.post.denoise import upscale2x, upscale2x_guided
+
+    fh, fw = 32, 32
+    xs = np.arange(fw)
+    alb_full = np.where(
+        (xs < fw // 2)[None, :, None], [[[0.8, 0.1, 0.1]]], [[[0.1, 0.1, 0.8]]]
+    ).astype(np.float32) * np.ones((fh, 1, 1), np.float32)
+    nrm_full = np.tile([0.0, 0.0, 1.0], (fh, fw, 1)).astype(np.float32)
+    truth = alb_full * 0.5  # flat lighting: radiance follows albedo
+
+    # half-res render = box-downsampled truth (the edge straddles texels)
+    half = truth.reshape(fh // 2, 2, fw // 2, 2, 3).mean(axis=(1, 3))
+    alb_half = alb_full.reshape(fh // 2, 2, fw // 2, 2, 3).mean(axis=(1, 3))
+    nrm_half = nrm_full.reshape(fh // 2, 2, fw // 2, 2, 3).mean(axis=(1, 3))
+
+    bil = np.asarray(upscale2x(jnp.asarray(half)))
+    gd = np.asarray(
+        upscale2x_guided(
+            jnp.asarray(half), jnp.asarray(alb_full), jnp.asarray(nrm_full),
+            jnp.asarray(alb_half), jnp.asarray(nrm_half),
+        )
+    )
+    err_b = np.sqrt(((bil - truth) ** 2).mean())
+    err_g = np.sqrt(((gd - truth) ** 2).mean())
+    assert err_g < 0.5 * err_b, (err_g, err_b)
+    # away from the edge both must be exact
+    np.testing.assert_allclose(gd[:, :8], truth[:, :8], atol=1e-5)

@@ -273,6 +273,7 @@ def test_animation_budget_reserves_frame_overhead(tmp_path, monkeypatch):
     assert clock["t"] - 1000.0 <= 90.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_first_batch_sized_to_fit_tight_deadline():
     """A carried per-spp cost estimate (from the previous frame) sizes
     the indivisible FIRST batch down to fit a tight deadline: after

@@ -8,6 +8,7 @@ reprojected blend ghosts LESS than the unwarped blend."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def _cam(pos, look, fov=np.pi / 4):
@@ -114,6 +115,7 @@ def test_reprojection_beats_blend_under_camera_motion():
     assert err_warped < err_unwarped * 0.25, (err_warped, err_unwarped)
 
 
+@pytest.mark.slow
 def test_denoise_temporal_reprojected_rejects_disocclusion():
     """Lanes whose reprojection is invalid (off-screen / miss) must get
     ZERO history weight — identical to the pure spatial filter there."""
