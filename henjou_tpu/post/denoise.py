@@ -74,7 +74,7 @@ def denoise_atrous(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iterations", "demodulate")
+    jax.jit, static_argnames=("iterations", "demodulate", "pairwise")
 )
 def denoise_atrous_var(
     color: jnp.ndarray,
@@ -86,6 +86,7 @@ def denoise_atrous_var(
     sigma_albedo: float = 0.15,
     sigma_normal: float = 0.25,
     demodulate: bool = True,
+    pairwise: bool = False,
 ) -> jnp.ndarray:
     """VARIANCE-GUIDED edge-avoiding à-trous (the SVGF weighting,
     Schied 2017): the luminance edge-stop is normalized by the per-pixel
@@ -114,7 +115,19 @@ def denoise_atrous_var(
     quality ledger): sigma_lum=1.5 is the RMSE optimum for both uniform
     and adaptive films (sl=4 over-blurs, +12% RMSE); demodulation is a
     consistent small win; a James-Stein raw/filtered shrinkage blend
-    was measured WORSE at contest spp (tools/exp_shrink.py)."""
+    was measured WORSE at contest spp (tools/exp_shrink.py).
+
+    `pairwise=True` makes the luminance edge-stop SYMMETRIC: the denom
+    uses sqrt(var_p + var_s) — the actual std of the DIFFERENCE of two
+    independent noisy estimates — instead of SVGF's one-sided
+    sqrt(var_p). With a uniform noise floor the two differ only by a
+    sqrt(2) rescale of sigma_lum, but under ADAPTIVE sampling's uneven
+    per-pixel counts the one-sided form misreads a noisy low-count
+    neighbor as a luminance edge and refuses to average it away
+    (round-4 VERDICT weak #4: the count-aware rematch lever). Note the
+    engine's variance AOV is ALREADY variance-of-the-mean (m2/n -
+    mu^2)/n, renderer.py:1164-1167 — per-pixel counts enter there; the
+    one-sided comparison was the remaining count-blind spot."""
     alb_d = None
     if demodulate:
         alb_d = jnp.where(albedo > 1e-3, albedo, 1.0)
@@ -172,6 +185,13 @@ def denoise_atrous_var(
                     + 0.7152 * c_s[..., 1:2]
                     + 0.0722 * c_s[..., 2:3]
                 )
+                if pairwise:
+                    # std of the difference of two independent estimates;
+                    # /sqrt(2) keeps the uniform-count case on the same
+                    # sigma_lum scale as the one-sided default
+                    denom = (
+                        sigma_lum * jnp.sqrt((var + v_s) * 0.5) + 1e-4
+                    )
                 dl = jnp.abs(l_s - lum)
                 da = jnp.sum((a_s - albedo) ** 2, axis=-1, keepdims=True)
                 dn = jnp.sum((n_s - normal) ** 2, axis=-1, keepdims=True)
@@ -291,6 +311,82 @@ def denoise_temporal_reprojected(
         * jnp.exp(-dn / (sigma_normal * sigma_normal))
     )
     return spatial * (1.0 - w_hist) + hist * w_hist
+
+
+@jax.jit
+def upscale2x_guided(
+    img: jnp.ndarray,
+    alb_lo: jnp.ndarray,
+    nrm_lo: jnp.ndarray,
+    alb_hi: jnp.ndarray,
+    nrm_hi: jnp.ndarray,
+    sigma_albedo: float = 0.1,
+    sigma_normal: float = 0.2,
+) -> jnp.ndarray:
+    """Joint-bilateral 2x upsample guided by FULL-resolution albedo and
+    normal AOVs (one deterministic pixel-center primary-hit probe,
+    renderer._guide_probe — same pattern as the temporal depth probe).
+
+    Role-matches the reference's trained UPSCALE2X NN
+    (include/renderer/denoiser.h:83-101): DenoiseUpScale2X renders at
+    half resolution (renderer.h:1096-1099) and the upscaler must
+    reconstruct the edges the half-res render never saw. Two mechanisms
+    the plain bilinear `upscale2x` lacks:
+
+    1. edge-aware weights (Kopf 2007 joint bilateral upsampling): each
+       full-res pixel blends its 4 nearest half-res texels weighted by
+       bilinear footprint x guide similarity against the FULL-res
+       guide, so geometry/material silhouettes snap to the full-res
+       edge instead of averaging across it;
+    2. albedo re-modulation: the half-res image is demodulated by the
+       half-res albedo, upsampled as illumination, and re-modulated by
+       the full-res albedo — texture detail re-enters at FULL
+       resolution (the separation the reference NN learns from its
+       albedo guide layer). Near-zero-albedo pixels (sky, emitters)
+       pass through unmodulated, same guard as denoise_atrous_var.
+
+    img/alb_lo/nrm_lo: [h,w,3] half-res; alb_hi/nrm_hi: [H,W,3]
+    full-res. Output [H,W,3]. Falls back to plain bilinear wherever the
+    guide weights vanish (e.g. a full-res pixel whose surface the
+    half-res grid never sampled)."""
+    h, w = img.shape[0], img.shape[1]
+    hh, ww = alb_hi.shape[0], alb_hi.shape[1]
+    # demodulate: illumination at half res
+    alb_lo_d = jnp.where(alb_lo > 1e-3, alb_lo, 1.0)
+    irr = img / alb_lo_d
+    # continuous half-res coords of each full-res pixel center
+    ys = (jnp.arange(hh) + 0.5) * (h / hh) - 0.5
+    xs = (jnp.arange(ww) + 0.5) * (w / ww) - 0.5
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    y0c = jnp.clip(y0, 0, h - 1)
+    x0c = jnp.clip(x0, 0, w - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    x1c = jnp.clip(x0 + 1, 0, w - 1)
+    acc = jnp.zeros_like(alb_hi)
+    wsum = jnp.zeros((hh, ww, 1), img.dtype)
+    bilin = jnp.zeros_like(alb_hi)
+    for yc, wy in ((y0c, 1.0 - fy), (y1c, fy)):
+        for xc, wx in ((x0c, 1.0 - fx), (x1c, fx)):
+            irr_s = irr[yc][:, xc]
+            a_s = alb_lo[yc][:, xc]
+            n_s = nrm_lo[yc][:, xc]
+            da = jnp.sum((a_s - alb_hi) ** 2, axis=-1, keepdims=True)
+            dn = jnp.sum((n_s - nrm_hi) ** 2, axis=-1, keepdims=True)
+            w_b = wy * wx
+            w_g = (
+                w_b
+                * jnp.exp(-da / (sigma_albedo * sigma_albedo))
+                * jnp.exp(-dn / (sigma_normal * sigma_normal))
+            )
+            acc = acc + irr_s * w_g
+            wsum = wsum + w_g
+            bilin = bilin + irr_s * w_b
+    irr_up = jnp.where(wsum > 1e-6, acc / jnp.maximum(wsum, 1e-6), bilin)
+    alb_hi_d = jnp.where(alb_hi > 1e-3, alb_hi, 1.0)
+    return irr_up * alb_hi_d
 
 
 @jax.jit

@@ -1421,13 +1421,64 @@ class Renderer:
             self._temporal_prev_cam = cam
             return np.asarray(out)
         if mode in (RenderMode.DENOISE, RenderMode.DENOISE_UPSCALE2X):
-            from henjou_tpu.post.denoise import upscale2x
-
-            out = np.asarray(self._spatial_denoise(aovs))
+            out = self._spatial_denoise(aovs)
             if mode == RenderMode.DENOISE_UPSCALE2X:
-                out = np.asarray(upscale2x(jnp.asarray(out)))
-            return out
+                guides = self._full_res_guides(frame)
+                if guides is not None:
+                    from henjou_tpu.post.denoise import upscale2x_guided
+
+                    out = upscale2x_guided(
+                        out,
+                        jnp.asarray(aovs["albedo"]),
+                        jnp.asarray(aovs["normal"]),
+                        *guides,
+                    )
+                else:
+                    from henjou_tpu.post.denoise import upscale2x
+
+                    out = upscale2x(jnp.asarray(out))
+            return np.asarray(out)
         return aovs["color"]
+
+    def _full_res_guides(self, frame: int = None):
+        """Full-resolution albedo/normal guides for the guided 2x
+        upsampler (one pixel-center primary-hit pass at OUTPUT res —
+        the UPSCALE2X guide layers the reference feeds its trained
+        upscaler, denoiser.h:83-101). Returns (albedo[H,W,3],
+        normal[H,W,3]) or None, in which case the caller falls back to
+        plain bilinear. Cost: one deterministic closest-hit pass, same
+        budget class as the temporal depth probe (~0.1 s at 720p)."""
+        if self.device_scene is None:
+            return None
+        try:
+            t0 = time.monotonic()
+            time_s = (frame or 0) / float(self.option.fps)
+            transforms, inv_t = self._frame_transforms(time_s)
+            frame_scene = self._frame_build(
+                self.device_scene, transforms, inv_t
+            )
+            cam = self._frame_camera(time_s)
+            cache = getattr(self, "_accel_cache", None)
+            accel = cache[1] if cache else None
+            alb, nrm = _guide_probe(
+                frame_scene,
+                self.sky,
+                cam,
+                accel,
+                self.option.image_width,
+                self.option.image_height,
+            )
+            jax.block_until_ready(alb)
+            log.info(
+                "upscale guide probe: %.3fs (%dx%d)",
+                time.monotonic() - t0,
+                self.option.image_width,
+                self.option.image_height,
+            )
+            return alb, nrm
+        except Exception:  # pragma: no cover - probe is best-effort
+            log.exception("guide probe failed; plain bilinear upscale")
+            return None
 
     def _prewarm_finalize(self):
         """Compile the finalize pipeline (SVGF à-trous, + 2x upscale for
@@ -1512,6 +1563,41 @@ class Renderer:
         else:
             raise ValueError(f"unsupported scene file: {path}")
         self.build()
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _guide_probe(frame_scene, sky, cam, accel, width, height):
+    """Pixel-center first-hit (albedo[H,W,3], normal[H,W,3]) at FULL
+    output resolution: the guide layers for the joint-bilateral 2x
+    upsampler (upscale2x_guided; the reference feeds the same guides to
+    its trained UPSCALE2X NN, denoiser.h:83-101). Same structure and
+    budget class as _temporal_depth_probe — one deterministic
+    closest-hit pass, and hit.basecolor/hit.normal carry exactly the
+    semantics the wavefront engine writes into its first-bounce AOV
+    columns (wavefront.py:332-333), so the half-res AOVs and these
+    full-res guides live in the same domain."""
+    from henjou_tpu.integrator.payload import closest_hit
+    from henjou_tpu.runtime.camera import camera_rays_centers
+
+    ifn = None
+    if accel is not None:
+        from henjou_tpu.accel.pallas_binned import (
+            BinnedClusters,
+            make_binned_intersector,
+        )
+
+        if isinstance(accel, BinnedClusters):
+            ifn, _ = make_binned_intersector(accel)
+        else:
+            from henjou_tpu.accel.traverse import make_bvh_intersector
+
+            ifn, _ = make_bvh_intersector(accel)
+    o, d = camera_rays_centers(cam, width, height)
+    hit = closest_hit(frame_scene, sky, o, d, intersect_fn=ifn)
+    return (
+        hit.basecolor.reshape(height, width, 3),
+        hit.normal.reshape(height, width, 3),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))

@@ -137,6 +137,43 @@ def test_firefly_clamp_caps_sample_luminance():
     )
 
 
+def test_pairwise_edge_stop_uniform_noop():
+    """pairwise=True (count-aware symmetric luminance denom, the
+    round-4 VERDICT weak-#4 rematch lever): on a UNIFORM noise floor
+    the /sqrt(2) rescale makes (var+v_s)/2 == var, so one iteration is
+    bit-identical to the one-sided default (demodulate=False — the
+    demod path rescales variance by albedo luminance, which makes even
+    a uniform floor non-uniform). Later iterations filter the variance
+    map non-uniformly and the two legitimately drift.
+
+    On a HETEROSCEDASTIC floor the symmetric form is measurably WORSE
+    on this synthetic (quiet pixels start accepting noisy neighbors) —
+    SVGF's one-sided denom is deliberate, so pairwise stays an opt-in
+    experiment flag, not a default; it must still denoise."""
+    truth, noisy, albedo, normal, var = _synthetic()
+    uni = jnp.full_like(jnp.asarray(var), 0.04)
+    col = jnp.asarray(noisy)
+    alb, nrm = jnp.asarray(albedo), jnp.asarray(normal)
+    one = np.asarray(
+        denoise_atrous_var(
+            col, alb, nrm, uni, iterations=1, demodulate=False
+        )
+    )
+    two = np.asarray(
+        denoise_atrous_var(
+            col, alb, nrm, uni, iterations=1, demodulate=False,
+            pairwise=True,
+        )
+    )
+    np.testing.assert_allclose(one, two, atol=1e-6)
+
+    v = jnp.asarray(var)
+    two = np.asarray(denoise_atrous_var(col, alb, nrm, v, pairwise=True))
+    e2 = np.sqrt(np.mean((two - truth) ** 2))
+    e_noisy = np.sqrt(np.mean((noisy - truth) ** 2))
+    assert e2 < 0.5 * e_noisy, (e2, e_noisy)
+
+
 def test_guided_upscale_reconstructs_edges():
     """upscale2x_guided (VERDICT r4 #6): a material edge blurred by the
     half-res representation must come back sharper than plain bilinear
@@ -161,8 +198,8 @@ def test_guided_upscale_reconstructs_edges():
     bil = np.asarray(upscale2x(jnp.asarray(half)))
     gd = np.asarray(
         upscale2x_guided(
-            jnp.asarray(half), jnp.asarray(alb_full), jnp.asarray(nrm_full),
-            jnp.asarray(alb_half), jnp.asarray(nrm_half),
+            jnp.asarray(half), jnp.asarray(alb_half), jnp.asarray(nrm_half),
+            jnp.asarray(alb_full), jnp.asarray(nrm_full),
         )
     )
     err_b = np.sqrt(((bil - truth) ** 2).mean())

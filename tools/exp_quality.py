@@ -114,6 +114,10 @@ def main():
         _tune()
         return
 
+    if mode == "temporal":
+        _temporal(budget)
+        return
+
     if mode == "ris":
         # RIS/WRS next-event light sampling: equal-BUDGET uniform renders
         # at m=0 (plain) vs m in {4, 8} candidates; the win must show in
@@ -226,6 +230,76 @@ def main():
     )
 
 
+def _temporal(budget: float):
+    """DenoiseTemporal vs per-frame Denoise on the CONTEST animation
+    (round-4 VERDICT #5): 2 frames of the shipped rtcamp gltf (orbiting
+    camera, ~1.5 deg/frame at fps 24), equal per-frame budget. The
+    question: does motion-compensated history reuse (depth-probe
+    reprojection, post/denoise.py denoise_temporal_reprojected) beat an
+    independent SVGF on frame 1 at the same wall-clock?
+
+    Truths: /root/gt_rtcamp720gltf_f{0,1}.npz rendered here on first
+    use (--truth-spp, default 512 spp budget per frame).
+    Usage: python tools/exp_quality.py temporal [--budget 60]
+           [--truth-spp 512]
+    """
+    from henjou_tpu.runtime.options import RenderMode, load_render_option
+    from henjou_tpu.runtime.renderer import Renderer
+
+    truth_spp = 512
+    if "--truth-spp" in sys.argv:
+        truth_spp = int(sys.argv[sys.argv.index("--truth-spp") + 1])
+    opt_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scenes", "rtcamp_720_option.json",
+    )
+
+    def _mk(mode: RenderMode, max_spp: int) -> Renderer:
+        opt = load_render_option(opt_path)
+        opt.render_mode = mode
+        opt.max_spp = max_spp
+        opt.firefly_clamp = 64.0
+        r = Renderer(option=opt)
+        r._load_scene_from_option()
+        return r
+
+    gt = {}
+    for f in (0, 1):
+        path = f"/root/gt_rtcamp720gltf_f{f}.npz"
+        if not os.path.exists(path):
+            r = _mk(RenderMode.DEFAULT, truth_spp)
+            t0 = time.monotonic()
+            aovs = r.render_frame(f)
+            np.savez_compressed(
+                path, color=aovs["color"].astype(np.float32),
+                spp=aovs["spp_done"],
+            )
+            print(
+                f"truth f{f}: {aovs['spp_done']} spp in "
+                f"{time.monotonic() - t0:.0f}s -> {path}", flush=True,
+            )
+        gt[f] = np.load(path)["color"]
+
+    print(f"temporal: budget {budget:.0f}s/frame, contest gltf", flush=True)
+    for arm, mode in (
+        ("spatial", RenderMode.DENOISE),
+        ("temporal", RenderMode.DENOISE_TEMPORAL),
+    ):
+        r = _mk(mode, 100000)
+        # warm the pipeline so frame 0's budget isn't all compile
+        r.render_frame(0, deadline=0.5)
+        for f in (0, 1):
+            t0 = time.monotonic()
+            aovs = r.render_frame(f, deadline=budget)
+            img = np.asarray(r._finalize(aovs, frame=f))
+            wall = time.monotonic() - t0
+            print(
+                f"  {arm:8s} f{f}: {wall:6.1f}s  spp {aovs['spp_done']:4d}"
+                f"  raw {rmse(aovs['color'], gt[f]):.5f}"
+                f"  out {rmse(img, gt[f]):.5f}", flush=True,
+            )
+
+
 def _tune():
     """Offline denoiser-parameter sweep on a saved AOV dump (no TPU
     render): the round-4 quality run measured variance-GUIDED à-trous
@@ -250,17 +324,22 @@ def _tune():
     for it in (4, 5, 6):
         for sl in (0.5, 1.0, 1.5, 2.0, 3.0):
             for dm in (False, True):
-                out = np.asarray(
-                    denoise_atrous_var(
-                        color, albedo, normal, var,
-                        iterations=it, sigma_lum=sl, demodulate=dm,
+                for pw in (False, True):
+                    out = np.asarray(
+                        denoise_atrous_var(
+                            color, albedo, normal, var,
+                            iterations=it, sigma_lum=sl, demodulate=dm,
+                            pairwise=pw,
+                        )
                     )
-                )
-                e = rmse(out, gt)
-                tag = f"svgf it={it} sigma_lum={sl:5.1f} demod={int(dm)}"
-                print(f"  {tag}  {e:.5f}", flush=True)
-                if e < best[1]:
-                    best = (tag, e)
+                    e = rmse(out, gt)
+                    tag = (
+                        f"svgf it={it} sigma_lum={sl:5.1f} "
+                        f"demod={int(dm)} pair={int(pw)}"
+                    )
+                    print(f"  {tag}  {e:.5f}", flush=True)
+                    if e < best[1]:
+                        best = (tag, e)
     print(f"best: {best[0]} RMSE {best[1]:.5f} "
           f"(atrous fixed {rmse(base, gt):.5f})")
 
