@@ -494,7 +494,7 @@ def _kernel(
     # slicing of (N, 1) refs), then DMA staging buf + semaphore
     *scratch,
     group: int, any_hit: bool, vmem_rows: bool, gp: int, nw: int,
-    subt: int = 1, ablate: int = 0,
+    subt: int = 1, ablate: int = 0, defer: bool = False,
 ):
     # `ablate` (experiments only, tools/exp_kernel_split.py): bit 1 skips
     # the MT blocks (walk+gating cost alone), bit 4 ignores the prepass
@@ -537,27 +537,28 @@ def _kernel(
             m = jnp.maximum(m, jnp.max(bt_refs[s][:]))
         return m
 
-    def mt_block(src_ref, b, s=0):
+    def mt_block(src_ref, b, s=0, cid=0):
         """Dense triangle test of the tile (or one subtile row slice)
         against src_ref rows [b, b+16) (one K-wide cluster); see
         load_rows/mt_eval. The test is the Baldwin-Weber transformed
         form (plane hit + two affine barycentric evals) — the
         per-triangle cross products of Möller-Trumbore are precomputed
         into the rows at build time (_baldwin_rows_np)."""
-        mt_eval(load_rows(src_ref, b), s)
+        mt_eval(load_rows(src_ref, b), s, cid)
 
     def load_rows(src_ref, b):
         """The cluster's Baldwin-Weber geometry rows (+ the tri-id plane
         for closest hits), loaded ONCE per cluster — shared across every
         live subtile's mt_eval (re-paying the loads+broadcasts per
         subtile measured ~5% of contest-scale kernel time; taken
-        clusters average ~2 live subtiles there)."""
-        n_rows = 12 if any_hit else 13
+        clusters average ~2 live subtiles there). Deferred-pick mode
+        skips the tri-id plane: attributes resolve outside the kernel."""
+        n_rows = 12 if (any_hit or defer) else 13
         return tuple(
             src_ref[pl.ds(b + j, 1), :] for j in range(n_rows)
         )
 
-    def mt_eval(rows, s=0):
+    def mt_eval(rows, s=0, cid=0):
         """Evaluate one cluster's loaded rows against subtile slice `s`
         and fold into its best-hit refs. Mask notes: pad/degenerate
         triangles have all-zero rows -> tt == 0 -> culled by tt > tmin
@@ -594,6 +595,28 @@ def _kernel(
             hit_any = jnp.any(ok, axis=1, keepdims=True)
             bts[:] = jnp.where(hit_any, tmins, best_t_j)
             bps[:] = jnp.where(hit_any, 1, bps[:])
+            return
+        if defer:
+            # DEFERRED attribute resolution (round-4 VERDICT #1b, the
+            # in-kernel MT-rate lever): the hot loop keeps only (best-t,
+            # flat cluster*K+k winner) — 2 lane reductions per cluster
+            # instead of 5 (min + argmin + three pick-sums) and no
+            # u/v/ordr work; intersect_binned recomputes u/v/prim for
+            # the single winning triangle per ray after the walk (one
+            # [R,13] gather + a dozen vector ops). Tie behavior matches
+            # the inline path: lowest k within a cluster (masked-iota
+            # min), earliest cluster across clusters (strict <).
+            k_iota = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+            tt = jnp.where(ok, tt, _BIG)
+            bt_k = jnp.min(tt, axis=1, keepdims=True)
+            hit_any = bt_k < best_t_j
+            k_best = jnp.min(
+                jnp.where(tt == bt_k, k_iota, jnp.int32(1 << 20)),
+                axis=1, keepdims=True,
+            )
+            flat = cid * tt.shape[1] + k_best
+            bts[:] = jnp.where(hit_any, bt_k, best_t_j)
+            bps[:] = jnp.where(hit_any, flat, bps[:])
             return
         ordr = jax.lax.bitcast_convert_type(rows[12], jnp.int32)
         bus, bvs = bu_refs[s], bv_refs[s]
@@ -650,7 +673,7 @@ def _kernel(
 
         if group == 1 and subt == 1:
             # the prepass already slab-tested this cluster for the tile
-            mt_block(src_ref, base)
+            mt_block(src_ref, base, cid=gid)
             if vmem_rows:
                 # 16-wide unroll: amortize the while-loop's scalar
                 # bookkeeping over up to 16 MT blocks (worklists average
@@ -662,7 +685,7 @@ def _kernel(
                     @pl.when((li1 < n_work) & (t1 <= btmax))
                     def _(li1=li1):
                         gid1 = list_ref[i * gp + li1]
-                        mt_block(rows_ref, gid1 * 16)
+                        mt_block(rows_ref, gid1 * 16, cid=gid1)
         else:
             # nibble-packed cluster-need bits from the dense prepass:
             # ONE SMEM word read per cluster; nib==0 (cluster needed by
@@ -696,7 +719,7 @@ def _kernel(
                         @pl.when(live)
                         def _(s=s):
                             if not (ablate & 1):
-                                mt_eval(rows12, s)
+                                mt_eval(rows12, s, cid)
 
             for j in range(group):
                 nib_gate(gid * group + j, src_ref, base + j * 16, tnext)
@@ -752,13 +775,14 @@ VMEM_ROWS_BUDGET = 4 << 20
     jax.jit,
     static_argnames=(
         "any_hit", "interpret", "ray_tile", "subtiles", "ablate",
-        "max_entries",
+        "max_entries", "defer",
     ),
 )
 def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
                      any_hit: bool = False, interpret: bool = False,
                      ray_tile: int = RAY_TILE, subtiles: int = 0,
-                     ablate: int = 0, max_entries: int = 0):
+                     ablate: int = 0, max_entries: int = 0,
+                     defer: bool = False):
     """Same contract as accel.bruteforce.intersect_bruteforce, with one
     extra requirement: ray directions must be UNIT LENGTH (the prepass's
     t_enter ordering and the scene-exit tmax clamp measure t in
@@ -838,7 +862,7 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
     kernel = functools.partial(
         _kernel, group=bc.group, any_hit=any_hit, vmem_rows=vmem_rows,
         gp=int(bc.gaabb.shape[1]), nw=(ctot + fpw - 1) // fpw, subt=subt,
-        ablate=ablate,
+        ablate=ablate, defer=defer and not any_hit,
     )
     out_shape = [
         jax.ShapeDtypeStruct((rp, 1), jnp.float32),
@@ -887,6 +911,30 @@ def intersect_binned(bc: BinnedClusters, ray_o, ray_d, tmin, tmax=TMAX_RAY,
     u = u.reshape(rp)[:r]
     v = v.reshape(rp)[:r]
     is_hit = prim >= 0
+    if defer and not any_hit:
+        # attribute resolution for the deferred-pick kernel: `prim`
+        # holds the winner's flat cluster*K+k index; gather that one
+        # triangle's 13 rows-planes per ray and recompute u/v (same f32
+        # arithmetic as the in-kernel test -> bit-identical values) and
+        # the original tri id from the id plane
+        kk = bc.k
+        flat = jnp.maximum(prim, 0)
+        c_i = flat // kk
+        j_i = flat % kk
+        rows_flat = bc.rows.reshape(-1)
+        base = (c_i * 16) * kk + j_i
+        plane_k = kk * jnp.arange(13, dtype=prim.dtype)[None, :]
+        vals = rows_flat[base[:, None] + plane_k]  # [r, 13]
+        ro = ray_o[:r]
+        px = ro[:, 0] + t * ray_d[:r, 0]
+        py = ro[:, 1] + t * ray_d[:r, 1]
+        pz = ro[:, 2] + t * ray_d[:r, 2]
+        u = vals[:, 7] + vals[:, 4] * px + vals[:, 5] * py + vals[:, 6] * pz
+        v = vals[:, 11] + vals[:, 8] * px + vals[:, 9] * py + vals[:, 10] * pz
+        tri_id = jax.lax.bitcast_convert_type(vals[:, 12], jnp.int32)
+        prim = jnp.where(is_hit, tri_id, -1)
+        u = jnp.where(is_hit, u, 0.0)
+        v = jnp.where(is_hit, v, 0.0)
     return jnp.where(is_hit, t, jnp.inf), prim, u, v, is_hit
 
 
@@ -905,21 +953,104 @@ def _scene_exit_t(bc: BinnedClusters, ray_o, ray_d, tmin):
     )
 
 
+_RAY_TILE_PROBE_CACHE: dict = {}
+
+
+def probe_ray_tile(bc: BinnedClusters, candidates=(256, 512),
+                   n_rays: int = 1 << 16, reps: int = 3) -> int:
+    """Build-time micro-probe replacing the scene-class hand-gate
+    (round-4 VERDICT #8): time the production closest-hit path (bitonic
+    sorted wrapper + binned kernel) on synthetic incoherent rays at
+    each candidate tile size and lock the per-scene winner.
+
+    History the gate encoded: 512 won +6.6% on the contest engine
+    iteration (walk-bound, 1,991 clusters) but regressed the closest
+    kernel 34 -> 263 ms at 1M tris (7,808 clusters) until a second
+    cluster-count gate was added — exactly the brittleness a measured
+    probe removes. The challenger must beat the 256 default by >3% to
+    win (timing noise guard biased toward the safe default).
+
+    Probe rays: deterministic RNG, origins uniform in the scene AABB,
+    directions uniform on the sphere, run through the SAME sorted
+    wrapper production uses. Cost: one timed run per candidate
+    (sub-second warm via the persistent compile cache; the loser's
+    kernel compile is the one-time cold cost). Cached per scene shape
+    for the process lifetime."""
+    key = (
+        int(bc.num_clusters), int(bc.group),
+        tuple(np.asarray(bc.scene_lo).tolist()),
+        tuple(np.asarray(bc.scene_hi).tolist()),
+        tuple(candidates),
+    )
+    got = _RAY_TILE_PROBE_CACHE.get(key)
+    if got is not None:
+        return got
+    import logging
+    import time as _time
+
+    log = logging.getLogger("henjou_tpu")
+    if jax.default_backend() == "cpu":
+        # interpret-mode timings are meaningless; tile size is a pure
+        # perf knob there, so take the series default
+        _RAY_TILE_PROBE_CACHE[key] = RAY_TILE
+        return RAY_TILE
+    from henjou_tpu.accel.sorting import make_bitonic_sorted_intersector
+
+    rng = np.random.default_rng(12345)
+    lo = np.asarray(bc.scene_lo, np.float32)
+    hi = np.asarray(bc.scene_hi, np.float32)
+    o = rng.uniform(lo, hi, (n_rays, 3)).astype(np.float32)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    t0_all = _time.monotonic()
+    best_rt, best_t = None, None
+    for rt_c in candidates:
+        def ifn(tri_verts, ro, rd, tmin, tmax=TMAX_RAY, _rt=rt_c):
+            return intersect_binned(bc, ro, rd, tmin, tmax, ray_tile=_rt)
+
+        sifn, _ = make_bitonic_sorted_intersector(
+            ifn, ifn, bc.scene_lo, bc.scene_hi
+        )
+        run = jax.jit(
+            lambda ro, rd, _f=sifn: _f(None, ro, rd, 1e-3, TMAX_RAY)
+        )
+        jax.block_until_ready(run(oj, dj))  # compile + warm
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            out = run(oj, dj)
+        jax.block_until_ready(out)
+        dt = (_time.perf_counter() - t0) / reps
+        log.info("ray_tile probe: rt=%d %.2f ms/%dk rays", rt_c,
+                 dt * 1e3, n_rays // 1024)
+        # the 256 default wins ties and anything within 3%
+        if best_t is None or dt < best_t * 0.97:
+            best_rt, best_t = rt_c, dt
+    log.info(
+        "ray_tile probe: chose rt=%d (%d clusters, group=%d) in %.2fs",
+        best_rt, bc.num_clusters, bc.group, _time.monotonic() - t0_all,
+    )
+    _RAY_TILE_PROBE_CACHE[key] = best_rt
+    return best_rt
+
+
 def make_binned_intersector(bc: BinnedClusters, ray_tile: int = 0,
                             subtiles: int = 0):
-    """ray_tile=0 auto-selects per scene class: 256 for small (group=1)
-    scenes — the program-overhead/culling-quality optimum of the round-3
-    gallery sweep — and 512 for MID-SIZE grouped scenes (contest scale),
-    where the walk floor dominates and halving the tile count measured
-    +6.6% on the engine iteration (55.9 vs 59.6 ms, BASELINE round-4).
-    VERY large cluster sets stay at 256: at 1M tris (7,808 clusters) the
-    512-ray tile union degrades culling enough to regress the closest
-    kernel 34 -> 263 ms (measured round-4) — the win is walk-bound
-    scenes only."""
+    """ray_tile=0 measures the per-scene optimum with a build-time
+    micro-probe (probe_ray_tile) instead of the former scene-class
+    hand-gate — the gate picked 512 for walk-bound grouped scenes
+    (+6.6% at contest scale) but needed a second cluster-count gate
+    after a 7.7x regression at 1M tris (BASELINE round-4); probing the
+    actual kernel removes the brittleness."""
     if ray_tile == 0:
-        ray_tile = (
-            512 if bc.group > 1 and bc.num_clusters <= 4096 else RAY_TILE
-        )
+        if isinstance(bc.scene_lo, jax.core.Tracer):
+            # called under jit with a traced bc (the renderer's temporal
+            # depth / upscale guide probes): can't time anything here —
+            # take the series default; production engine paths build
+            # their intersector on host with a concrete bc
+            ray_tile = RAY_TILE
+        else:
+            ray_tile = probe_ray_tile(bc)
 
     def intersect_fn(tri_verts, ray_o, ray_d, tmin, tmax=TMAX_RAY):
         return intersect_binned(

@@ -1565,6 +1565,38 @@ class Renderer:
         self.build()
 
 
+def _chunked_closest_hit(frame_scene, sky, o, d, intersect_fn,
+                         chunk: int = 1 << 16):
+    """closest_hit over [R,3] rays in fixed-size chunks (lax.map): one
+    single-call full-frame trace at 720p+ (9.2e5 rays -> 3.6k ray
+    tiles) blows the binned kernel's SMEM scalar-prefetch budget — the
+    per-tile worklist operands scale with TILE COUNT (measured: probe
+    at contest scale asked for a 1.84 MB 'prefetched SMEM operand 0'
+    against the 1 MB space). 64k-ray chunks are exactly the engine's
+    production launch shape, so the chunk body reuses its compiled
+    regime. Returns a SurfaceHit with [R] leaves."""
+    from henjou_tpu.integrator.payload import closest_hit
+
+    r = o.shape[0]
+    if r <= chunk:
+        return closest_hit(frame_scene, sky, o, d, intersect_fn=intersect_fn)
+    pad = (-r) % chunk
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], d.dtype), (pad, 1))]
+        )
+    hit = jax.lax.map(
+        lambda od: closest_hit(
+            frame_scene, sky, od[0], od[1], intersect_fn=intersect_fn
+        ),
+        (o.reshape(-1, chunk, 3), d.reshape(-1, chunk, 3)),
+    )
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:])[:r], hit
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def _guide_probe(frame_scene, sky, cam, accel, width, height):
     """Pixel-center first-hit (albedo[H,W,3], normal[H,W,3]) at FULL
@@ -1576,7 +1608,6 @@ def _guide_probe(frame_scene, sky, cam, accel, width, height):
     semantics the wavefront engine writes into its first-bounce AOV
     columns (wavefront.py:332-333), so the half-res AOVs and these
     full-res guides live in the same domain."""
-    from henjou_tpu.integrator.payload import closest_hit
     from henjou_tpu.runtime.camera import camera_rays_centers
 
     ifn = None
@@ -1593,7 +1624,7 @@ def _guide_probe(frame_scene, sky, cam, accel, width, height):
 
             ifn, _ = make_bvh_intersector(accel)
     o, d = camera_rays_centers(cam, width, height)
-    hit = closest_hit(frame_scene, sky, o, d, intersect_fn=ifn)
+    hit = _chunked_closest_hit(frame_scene, sky, o, d, ifn)
     return (
         hit.basecolor.reshape(height, width, 3),
         hit.normal.reshape(height, width, 3),
@@ -1608,7 +1639,6 @@ def _temporal_depth_probe(frame_scene, sky, cam, accel, width, height):
     takes as input, denoiser.h:35-40) — noise-free and negligible next
     to the frame's spp loop. `accel` rides as a pytree argument so
     animated frames reuse the compiled probe."""
-    from henjou_tpu.integrator.payload import closest_hit
     from henjou_tpu.runtime.camera import camera_rays_centers
 
     ifn = None
@@ -1627,7 +1657,7 @@ def _temporal_depth_probe(frame_scene, sky, cam, accel, width, height):
 
             ifn, _ = make_bvh_intersector(accel)
     o, d = camera_rays_centers(cam, width, height)
-    hit = closest_hit(frame_scene, sky, o, d, intersect_fn=ifn)
+    hit = _chunked_closest_hit(frame_scene, sky, o, d, ifn)
     return (
         hit.position.reshape(height, width, 3),
         hit.is_hit.reshape(height, width),

@@ -203,6 +203,53 @@ def test_binned_scaled_group_interpret():
 
 
 @pytest.mark.slow
+def test_binned_defer_pick_parity_interpret():
+    """defer=True (deferred attribute resolution, round-4 VERDICT #1b):
+    the hot loop keeps only (best-t, flat winner index) and u/v/prim are
+    recomputed outside the kernel — results must be IDENTICAL to the
+    inline-pick kernel on both the fine (group=1) and grouped paths."""
+    import henjou_tpu.accel.pallas_binned as pb
+
+    rng = np.random.default_rng(21)
+    n = 512
+    o = jnp.asarray(rng.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+
+    for tcount, force_group in ((700, False), (900, True)):
+        c = rng.uniform(-3, 3, (tcount, 1, 3))
+        tris = (c + rng.normal(scale=0.25, size=(tcount, 3, 3))).astype(
+            np.float32
+        )
+        if force_group:
+            old = pb.MAX_FINE_CLUSTERS
+            pb.MAX_FINE_CLUSTERS = 2
+            try:
+                bc = pb.pack_binned_np(tris)
+            finally:
+                pb.MAX_FINE_CLUSTERS = old
+            assert bc.group > 1
+        else:
+            bc = pb.pack_binned_np(tris)
+        t0, p0, u0, v0, h0 = pb.intersect_binned(
+            bc, o, d, 1e-3, interpret=True
+        )
+        t1, p1, u1, v1, h1 = pb.intersect_binned(
+            bc, o, d, 1e-3, interpret=True, defer=True
+        )
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_allclose(
+            np.asarray(u0), np.asarray(u1), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(v0), np.asarray(v1), atol=1e-6
+        )
+
+
+@pytest.mark.slow
 def test_bitonic_wrapper_dead_lanes_and_parity():
     """Bitonic sorted wrapper: estimator-invisible, dead lanes exact."""
     from henjou_tpu.accel.pallas_binned import (

@@ -147,3 +147,36 @@ def test_denoise_temporal_reprojected_rejects_disocclusion():
         xx, yy, jnp.ones((h, w), bool),
     )
     assert float(jnp.abs(out2 - spatial).max()) > 1.0
+
+
+def test_chunked_closest_hit_matches_single_call():
+    """_chunked_closest_hit (the probe SMEM fix): a full-frame trace at
+    720p+ used to ask for a 1.84 MB SMEM prefetch operand (worklists
+    scale with ray-tile count) and KILL the depth/guide probes at
+    contest scale — this pins the chunked path (pad + lax.map + strip)
+    against the one-call result on a non-multiple ray count."""
+    from henjou_tpu.runtime.renderer import _chunked_closest_hit
+    from henjou_tpu.integrator.payload import Sky
+    from henjou_tpu.scene.scenedata import (
+        build_device_scene,
+        build_frame_scene,
+    )
+    from henjou_tpu.scene.testscenes import cornell_box_scene
+
+    dev = build_device_scene(cornell_box_scene())
+    frame = jax.jit(build_frame_scene)(dev, None, None)
+    sky = Sky(
+        constant_color=jnp.zeros(3), intensity=jnp.asarray(1.0)
+    )
+    rng = np.random.default_rng(3)
+    r = 2500  # not a multiple of the chunk: exercises pad + strip
+    o = jnp.asarray(rng.uniform(-1, 1, (r, 3)).astype(np.float32))
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    one = _chunked_closest_hit(frame, sky, o, d, None)
+    chunked = _chunked_closest_hit(frame, sky, o, d, None, chunk=1024)
+    for a, b in zip(one, chunked):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        )

@@ -102,10 +102,12 @@ def main():
     oj = jnp.asarray(o)
     dj = jnp.asarray(d)
 
+    defer = "--defer" in sys.argv  # deferred attribute resolution arm
+
     def timeit(label, any_hit, ablate):
         fn = jax.jit(lambda: intersect_binned(
             bc, oj, dj, 1e-3, any_hit=any_hit, ablate=ablate,
-            subtiles=subt, ray_tile=rt)[0])
+            subtiles=subt, ray_tile=rt, defer=defer)[0])
         out = fn()
         jax.block_until_ready(out)
         t0 = time.perf_counter()

@@ -118,6 +118,10 @@ def main():
         _temporal(budget)
         return
 
+    if mode == "upscale":
+        _upscale(budget)
+        return
+
     if mode == "ris":
         # RIS/WRS next-event light sampling: equal-BUDGET uniform renders
         # at m=0 (plain) vs m in {4, 8} candidates; the win must show in
@@ -254,11 +258,13 @@ def _temporal(budget: float):
         "scenes", "rtcamp_720_option.json",
     )
 
+    import dataclasses
+
     def _mk(mode: RenderMode, max_spp: int) -> Renderer:
-        opt = load_render_option(opt_path)
-        opt.render_mode = mode
-        opt.max_spp = max_spp
-        opt.firefly_clamp = 64.0
+        opt = dataclasses.replace(
+            load_render_option(opt_path),
+            render_mode=mode, max_spp=max_spp, firefly_clamp=64.0,
+        )
         r = Renderer(option=opt)
         r._load_scene_from_option()
         return r
@@ -298,6 +304,68 @@ def _temporal(budget: float):
                 f"  raw {rmse(aovs['color'], gt[f]):.5f}"
                 f"  out {rmse(img, gt[f]):.5f}", flush=True,
             )
+
+
+def _upscale(budget: float):
+    """DenoiseUpScale2X ledger (round-4 VERDICT #6 'done' criterion):
+    at EQUAL wall-clock on the contest gltf, does half-res render +
+    guided 2x upsample beat full-res render + SVGF? Arms:
+      fullres   1280x720 render, SVGF
+      up-guided  640x360 render (4x the spp), SVGF, joint-bilateral
+                guided upsample (full-res albedo/normal probe)
+      up-bilin  same film, plain bilinear upscale (the old path)
+    Truth: the f0 gltf truth from the temporal mode.
+    Usage: python tools/exp_quality.py upscale [--budget 60]
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from henjou_tpu.post.denoise import upscale2x
+    from henjou_tpu.runtime.options import RenderMode, load_render_option
+    from henjou_tpu.runtime.renderer import Renderer
+
+    gt = np.load("/root/gt_rtcamp720gltf_f0.npz")["color"]
+    opt_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scenes", "rtcamp_720_option.json",
+    )
+
+    def _mk(mode: RenderMode) -> Renderer:
+        opt = dataclasses.replace(
+            load_render_option(opt_path),
+            render_mode=mode, max_spp=100000, firefly_clamp=64.0,
+        )
+        r = Renderer(option=opt)
+        r._load_scene_from_option()
+        return r
+
+    print(f"upscale: budget {budget:.0f}s, contest gltf 720p", flush=True)
+    r = _mk(RenderMode.DENOISE)
+    r.render_frame(0, deadline=0.5)  # warm compile
+    t0 = time.monotonic()
+    aovs = r.render_frame(0, deadline=budget)
+    img = np.asarray(r._finalize(aovs, frame=0))
+    print(
+        f"  fullres  : {time.monotonic() - t0:6.1f}s  spp "
+        f"{aovs['spp_done']:4d}  raw {rmse(aovs['color'], gt):.5f}  "
+        f"svgf {rmse(img, gt):.5f}", flush=True,
+    )
+
+    r = _mk(RenderMode.DENOISE_UPSCALE2X)
+    r.render_frame(0, deadline=0.5)
+    t0 = time.monotonic()
+    aovs = r.render_frame(0, deadline=budget)
+    img_g = np.asarray(r._finalize(aovs, frame=0))
+    wall = time.monotonic() - t0
+    spatial = r._spatial_denoise(aovs)
+    img_b = np.asarray(upscale2x(jnp.asarray(spatial)))
+    print(
+        f"  up-guided: {wall:6.1f}s  spp {aovs['spp_done']:4d} "
+        f"(@640x360)  out {rmse(img_g, gt):.5f}", flush=True,
+    )
+    print(f"  up-bilin : same film               out {rmse(img_b, gt):.5f}",
+          flush=True)
 
 
 def _tune():
