@@ -213,6 +213,30 @@ def denoise_atrous_var(
 
 
 @jax.jit
+def _maxpool3(img: jnp.ndarray) -> jnp.ndarray:
+    """3x3 max pool [H,W,C], edge-replicated — the neighborhood bound
+    for TAA-style history clamping (min via -_maxpool3(-img))."""
+    p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    out = img
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out = jnp.maximum(
+                out, p[dy : dy + img.shape[0], dx : dx + img.shape[1]]
+            )
+    return out
+
+
+def _box3(img: jnp.ndarray) -> jnp.ndarray:
+    """3x3 box mean [H,W], edge-replicated — a cheap low-noise local
+    reference (noise variance var/9) for the temporal luminance gate."""
+    p = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
+    out = jnp.zeros_like(img)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out = out + p[dy : dy + img.shape[0], dx : dx + img.shape[1]]
+    return out / 9.0
+
+
 def denoise_temporal(
     color: jnp.ndarray,
     albedo: jnp.ndarray,
@@ -238,12 +262,15 @@ def denoise_temporal(
     back as prev_output next frame."""
     if spatial is None:
         spatial = denoise_atrous(color, albedo, normal)
+    # same TAA-style neighborhood clamp as the reprojected variant: the
+    # guide gate is blind to view-dependent radiance change
+    hist = jnp.clip(prev_output, -_maxpool3(-spatial), _maxpool3(spatial))
     da = jnp.sum((albedo - prev_albedo) ** 2, axis=-1, keepdims=True)
     dn = jnp.sum((normal - prev_normal) ** 2, axis=-1, keepdims=True)
     w_hist = alpha * jnp.exp(-da / (sigma_albedo * sigma_albedo)) * jnp.exp(
         -dn / (sigma_normal * sigma_normal)
     )
-    return spatial * (1.0 - w_hist) + prev_output * w_hist
+    return spatial * (1.0 - w_hist) + hist * w_hist
 
 
 def _bilinear_sample(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
@@ -301,6 +328,17 @@ def denoise_temporal_reprojected(
     hist, inb = _bilinear_sample(prev_output, px, py)
     pa, _ = _bilinear_sample(prev_albedo, px, py)
     pn, _ = _bilinear_sample(prev_normal, px, py)
+    # neighborhood clamp (TAA-style): the albedo/normal gate cannot see
+    # VIEW-DEPENDENT radiance change — glass/specular pixels keep
+    # identical guides under an orbiting camera while their radiance
+    # moves, so unclamped history ghosts (measured: contest f1 temporal
+    # 0.06435 vs spatial 0.05604 post-SMEM-fix). Clamping the warped
+    # history to the 3x3 min/max of the current spatial estimate bounds
+    # the bias to the local contrast range while keeping the variance
+    # reduction on diffuse pixels.
+    nmin = -_maxpool3(-spatial)
+    nmax = _maxpool3(spatial)
+    hist = jnp.clip(hist, nmin, nmax)
     da = jnp.sum((albedo - pa) ** 2, axis=-1, keepdims=True)
     dn = jnp.sum((normal - pn) ** 2, axis=-1, keepdims=True)
     ok = inb * reproject_valid[..., None].astype(color.dtype)
@@ -311,6 +349,102 @@ def denoise_temporal_reprojected(
         * jnp.exp(-dn / (sigma_normal * sigma_normal))
     )
     return spatial * (1.0 - w_hist) + hist * w_hist
+
+
+@jax.jit
+def temporal_accumulate(
+    color: jnp.ndarray,
+    variance: jnp.ndarray,
+    count: jnp.ndarray,
+    albedo: jnp.ndarray,
+    normal: jnp.ndarray,
+    prev_color: jnp.ndarray,
+    prev_var: jnp.ndarray,
+    prev_count: jnp.ndarray,
+    prev_albedo: jnp.ndarray,
+    prev_normal: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    reproject_valid: jnp.ndarray,
+    cap: float = 4.0,
+    sigma_albedo: float = 0.1,
+    sigma_normal: float = 0.2,
+):
+    """SVGF-style PRE-FILTER temporal integration (Schied 2017 §4.1):
+    merge the motion-compensated previous frame's RAW accumulated color
+    into the current frame's raw mean BEFORE the spatial filter, so the
+    variance-guided à-trous sees a lower noise floor — unlike blending
+    two already-filtered outputs (denoise_temporal_reprojected), which
+    cannot add information once both images are smooth (measured: the
+    post-filter blend is a wash, contest f1 0.05978 temporal vs 0.05958
+    spatial at equal budget).
+
+    color [H,W,3]: current frame's raw per-pixel MEAN radiance;
+    variance [H,W]: its variance-of-the-mean; count [H,W]: per-pixel
+    sample counts (all straight from the wavefront engine's film).
+    prev_* are the same quantities BANKED from the previous frame's
+    accumulation (prev_count is the EFFECTIVE count n_h, which grows
+    across frames up to the cap). px/py/reproject_valid as in
+    denoise_temporal_reprojected.
+
+    The merge is count-weighted: mu = (n_c*cur + n_h*hist)/(n_c+n_h)
+    with n_h = gate * min(prev_count, cap*n_c) — the cap bounds temporal
+    lag (history can outweigh the current frame at most cap:1, the
+    classic SVGF alpha=1/(1+cap)). Variance of the merged mean assumes
+    independent estimates: (n_c^2 v_c + n_h^2 v_h)/(n_c+n_h)^2. The
+    warped history mean is neighborhood-clamped to the 3x3 range of the
+    current RAW mean (TAA clamp) because the albedo/normal gate is blind
+    to view-dependent radiance change; at raw-MC noise levels the local
+    range is wide, so the clamp only removes egregious ghosts.
+
+    Returns (merged_color [H,W,3], merged_var [H,W], n_eff [H,W]) — the
+    caller runs denoise_atrous_var on the merged color/variance and
+    banks (merged_color, merged_var, n_eff) as next frame's history."""
+    hist, inb = _bilinear_sample(prev_color, px, py)
+    pv, _ = _bilinear_sample(prev_var[..., None], px, py)
+    pc, _ = _bilinear_sample(prev_count[..., None], px, py)
+    pa, _ = _bilinear_sample(prev_albedo, px, py)
+    pn, _ = _bilinear_sample(prev_normal, px, py)
+    # VARIANCE-AWARE clamp: a plain TAA clamp (raw 3x3 range) clips
+    # unbiased history toward the current frame's noise — correlating
+    # the two estimates and voiding the variance reduction — so the
+    # range is widened by the per-pixel noise sigma.
+    sig = jnp.sqrt(jnp.maximum(variance, 0.0))[..., None]
+    hist = jnp.clip(
+        hist, -_maxpool3(-color) - sig, _maxpool3(color) + sig
+    )
+    da = jnp.sum((albedo - pa) ** 2, axis=-1, keepdims=True)
+    dn = jnp.sum((normal - pn) ** 2, axis=-1, keepdims=True)
+    ok = inb * reproject_valid[..., None].astype(color.dtype)
+    gate = (
+        ok
+        * jnp.exp(-da / (sigma_albedo * sigma_albedo))
+        * jnp.exp(-dn / (sigma_normal * sigma_normal))
+    )
+    # NOISE-NORMALIZED LUMINANCE gate: the guide gate is blind to
+    # VIEW-DEPENDENT radiance change — on the contest orbit the moving
+    # specular highlight carried 87% of the history MSE inside the top
+    # 1% of pixels, all at guide gate 1.0 (tools/diag_temporal.py).
+    # Compare warped-history luminance to the 3x3 mean of the current
+    # raw film (noise var/9) and reject where the difference exceeds
+    # what the combined noise + a 5% relative tolerance can explain.
+    # k/rel from the offline sweep on the real contest dump
+    # (tools/exp_taccum_sweep.py): -6.5% display-space RMSE vs spatial.
+    lum_w = jnp.asarray([0.2126, 0.7152, 0.0722], color.dtype)
+    l3 = _box3(color @ lum_w)[..., None]
+    dl2 = ((hist @ lum_w)[..., None] - l3) ** 2
+    v_c3 = jnp.maximum(variance, 0.0)[..., None] / 9.0
+    v_h = jnp.maximum(pv, 0.0)
+    gate = gate * jnp.exp(
+        -dl2 / (v_c3 + v_h + (0.05 * l3) ** 2 + 1e-6)
+    )
+    n_c = jnp.maximum(count, 1.0)[..., None]
+    n_h = gate * jnp.minimum(jnp.maximum(pc, 0.0), cap * n_c)
+    n_t = n_c + n_h
+    merged = (n_c * color + n_h * hist) / n_t
+    v_c = jnp.maximum(variance, 0.0)[..., None]
+    var_m = (n_c * n_c * v_c + n_h * n_h * v_h) / (n_t * n_t)
+    return merged, var_m[..., 0], n_t[..., 0]
 
 
 @jax.jit
@@ -338,12 +472,13 @@ def upscale2x_guided(
        bilinear footprint x guide similarity against the FULL-res
        guide, so geometry/material silhouettes snap to the full-res
        edge instead of averaging across it;
-    2. albedo re-modulation: the half-res image is demodulated by the
-       half-res albedo, upsampled as illumination, and re-modulated by
-       the full-res albedo — texture detail re-enters at FULL
-       resolution (the separation the reference NN learns from its
-       albedo guide layer). Near-zero-albedo pixels (sky, emitters)
-       pass through unmodulated, same guard as denoise_atrous_var.
+    2. albedo re-modulation: each tap is demodulated by its half-res
+       albedo and re-modulated by the full-res albedo (ratio clamped to
+       [1/3, 3] so the operator stays bounded) — texture detail
+       re-enters at FULL resolution (the separation the reference NN
+       learns from its albedo guide layer). Near-zero-albedo pixels
+       (sky, emitters) pass through unmodulated, same guard as
+       denoise_atrous_var.
 
     img/alb_lo/nrm_lo: [h,w,3] half-res; alb_hi/nrm_hi: [H,W,3]
     full-res. Output [H,W,3]. Falls back to plain bilinear wherever the
@@ -351,9 +486,6 @@ def upscale2x_guided(
     half-res grid never sampled)."""
     h, w = img.shape[0], img.shape[1]
     hh, ww = alb_hi.shape[0], alb_hi.shape[1]
-    # demodulate: illumination at half res
-    alb_lo_d = jnp.where(alb_lo > 1e-3, alb_lo, 1.0)
-    irr = img / alb_lo_d
     # continuous half-res coords of each full-res pixel center
     ys = (jnp.arange(hh) + 0.5) * (h / hh) - 0.5
     xs = (jnp.arange(ww) + 0.5) * (w / ww) - 0.5
@@ -368,11 +500,25 @@ def upscale2x_guided(
     acc = jnp.zeros_like(alb_hi)
     wsum = jnp.zeros((hh, ww, 1), img.dtype)
     bilin = jnp.zeros_like(alb_hi)
+    alb_hi_d = jnp.where(alb_hi > 1e-3, alb_hi, 1.0)
+    have_hi = jnp.all(alb_hi > 1e-3, axis=-1, keepdims=True)
     for yc, wy in ((y0c, 1.0 - fy), (y1c, fy)):
         for xc, wx in ((x0c, 1.0 - fx), (x1c, fx)):
-            irr_s = irr[yc][:, xc]
+            img_s = img[yc][:, xc]
             a_s = alb_lo[yc][:, xc]
             n_s = nrm_lo[yc][:, xc]
+            # per-tap re-modulation with a BOUNDED ratio: demodulating
+            # by the tap albedo and re-modulating by the full-res
+            # albedo is exact for diffuse texture detail, but an
+            # unbounded ratio explodes when a tap's albedo is tiny yet
+            # above the demod guard (measured: output max 127 vs source
+            # max 16 on the contest scene before the clamp). [1/3, 3]
+            # covers real texture contrast while keeping the operator
+            # bounded by 3x the local source range.
+            a_s_d = jnp.where(a_s > 1e-3, a_s, 1.0)
+            remod = jnp.clip(alb_hi_d / a_s_d, 1.0 / 3.0, 3.0)
+            have_lo = jnp.all(a_s > 1e-3, axis=-1, keepdims=True)
+            remod = jnp.where(have_lo & have_hi, remod, 1.0)
             da = jnp.sum((a_s - alb_hi) ** 2, axis=-1, keepdims=True)
             dn = jnp.sum((n_s - nrm_hi) ** 2, axis=-1, keepdims=True)
             w_b = wy * wx
@@ -381,12 +527,10 @@ def upscale2x_guided(
                 * jnp.exp(-da / (sigma_albedo * sigma_albedo))
                 * jnp.exp(-dn / (sigma_normal * sigma_normal))
             )
-            acc = acc + irr_s * w_g
+            acc = acc + img_s * remod * w_g
             wsum = wsum + w_g
-            bilin = bilin + irr_s * w_b
-    irr_up = jnp.where(wsum > 1e-6, acc / jnp.maximum(wsum, 1e-6), bilin)
-    alb_hi_d = jnp.where(alb_hi > 1e-3, alb_hi, 1.0)
-    return irr_up * alb_hi_d
+            bilin = bilin + img_s * w_b
+    return jnp.where(wsum > 1e-6, acc / jnp.maximum(wsum, 1e-6), bilin)
 
 
 @jax.jit

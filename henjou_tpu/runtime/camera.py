@@ -83,20 +83,28 @@ def project_to_pixel(cam: Camera, pts: jnp.ndarray, width: int, height: int):
     """Inverse of the raygen mapping: world points [N,3] -> continuous
     pixel coordinates (px[N], py[N], valid[N]).
 
-    right/up follow the reference basis (renderer.h:1165-1168) and are
-    orthogonal to each other and to direction but NOT unit length when the
-    camera pitches, so the solve uses the orthogonal dual basis: for
-    w = P - pos = s*(u*right + v*up + f*dir),  w.dir = s*f  (dir is unit),
-    w.right = s*u*|right|^2, w.up = s*v*|up|^2.  valid = point in front of
-    the camera (s > 0)."""
+    right/up follow the reference basis (renderer.h:1165-1168), which is
+    NOT orthogonal in general: the contest camera keeps world up=(0,1,0)
+    as the film vertical while the direction pitches (dot(up,dir) =
+    -0.27), so an orthogonal dual-basis solve is systematically wrong —
+    measured ~200 px of vertical reprojection error at 720p, which
+    silently zeroed the temporal history gate (BASELINE.md round-5
+    temporal ledger). Solve the general 3x3 system instead with the
+    reciprocal basis: w = P - pos = a*right + b*up + c*dir with
+    a = s*u, b = s*v, c = s*f, via triple products. Exact for any
+    non-degenerate basis; valid = point in front of the camera
+    (s > 0 <=> c > 0, f > 0)."""
     w = pts - cam.position[None, :]
-    wd = w @ cam.direction
-    r2 = jnp.maximum(jnp.dot(cam.right, cam.right), 1e-12)
-    u2 = jnp.maximum(jnp.dot(cam.up, cam.up), 1e-12)
-    valid = wd > 1e-6
-    denom = jnp.where(valid, wd, 1.0)
-    u = cam.f * (w @ cam.right) / (r2 * denom)
-    v = cam.f * (w @ cam.up) / (u2 * denom)
+    r, up, dd = cam.right, cam.up, cam.direction
+    det = jnp.dot(r, jnp.cross(up, dd))
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    a = (w @ jnp.cross(up, dd)) / det
+    b = (w @ jnp.cross(dd, r)) / det
+    c = (w @ jnp.cross(r, up)) / det
+    valid = c > 1e-6
+    denom = jnp.where(valid, c, 1.0)
+    u = cam.f * a / denom
+    v = cam.f * b / denom
     px = (u * height + width) * 0.5
     py = (height - v * height) * 0.5
     return px, py, valid

@@ -1390,32 +1390,74 @@ class Renderer:
                     log.exception("temporal depth probe failed; blend-only")
                     cam = pos = hitm = None
             prev_cam = getattr(self, "_temporal_prev_cam", None)
-            spatial = self._spatial_denoise(aovs)
+            # PRE-FILTER accumulation state: (raw mean, var-of-mean,
+            # effective count, albedo, normal) — only the wavefront
+            # engine exports variance/count
+            raw_hist = getattr(self, "_temporal_raw", None)
+            have_film = (
+                aovs.get("variance") is not None
+                and aovs.get("count") is not None
+            )
+            variance = cnt = None
+            if have_film:
+                variance = jnp.asarray(aovs["variance"])
+                cnt = jnp.asarray(aovs["count"]).astype(color.dtype)
+            new_raw = None
             if prev is None or prev[0].shape != color.shape or not sequential:
-                out = spatial
+                out = self._spatial_denoise(aovs)
             elif cam is not None and prev_cam is not None and pos is not None:
-                from henjou_tpu.post.denoise import (
-                    denoise_temporal_reprojected,
-                )
                 from henjou_tpu.runtime.camera import project_to_pixel
 
                 h, w = color.shape[0], color.shape[1]
                 px, py, infront = project_to_pixel(
                     prev_cam, pos.reshape(-1, 3), w, h
                 )
-                out = denoise_temporal_reprojected(
-                    color,
-                    albedo,
-                    normal,
-                    *prev,
-                    px.reshape(h, w),
-                    py.reshape(h, w),
-                    (infront.reshape(h, w) & hitm),
-                    spatial=spatial,
-                )
+                px = px.reshape(h, w)
+                py = py.reshape(h, w)
+                valid = infront.reshape(h, w) & hitm
+                if (
+                    have_film
+                    and raw_hist is not None
+                    and raw_hist[0].shape == color.shape
+                ):
+                    # SVGF-style temporal integration: merge warped raw
+                    # history into the film BEFORE the spatial filter —
+                    # effective spp nearly doubles on agreeing pixels,
+                    # so the variance-guided filter starts from a lower
+                    # noise floor (post-filter output blending measured
+                    # a wash: BASELINE.md round-5 temporal ledger)
+                    from henjou_tpu.post.denoise import temporal_accumulate
+
+                    merged, var_m, n_eff = temporal_accumulate(
+                        color, variance, cnt, albedo, normal,
+                        raw_hist[0], raw_hist[1], raw_hist[2],
+                        raw_hist[3], raw_hist[4],
+                        px, py, valid,
+                    )
+                    out = self._spatial_denoise(
+                        dict(aovs, color=merged, variance=var_m)
+                    )
+                    new_raw = (merged, var_m, n_eff, albedo, normal)
+                    # reprojection fields + consumed history for offline
+                    # diagnostics (tools/exp_quality.py temporal)
+                    self._temporal_dbg = (px, py, valid, raw_hist)
+                else:
+                    from henjou_tpu.post.denoise import (
+                        denoise_temporal_reprojected,
+                    )
+
+                    out = denoise_temporal_reprojected(
+                        color, albedo, normal, *prev, px, py, valid,
+                        spatial=self._spatial_denoise(aovs),
+                    )
             else:
-                out = denoise_temporal(color, albedo, normal, *prev,
-                                       spatial=spatial)
+                out = denoise_temporal(
+                    color, albedo, normal, *prev,
+                    spatial=self._spatial_denoise(aovs),
+                )
+            if new_raw is None and have_film:
+                new_raw = (color, variance, cnt, albedo, normal)
+            self._temporal_raw = new_raw
             self._temporal_history = (out, albedo, normal)
             self._temporal_prev_frame = frame
             self._temporal_prev_cam = cam

@@ -141,12 +141,18 @@ def test_denoise_temporal_reprojected_rejects_disocclusion():
     )
     spatial = denoise_atrous(color, albedo, normal)
     np.testing.assert_allclose(np.asarray(out), np.asarray(spatial), atol=1e-6)
-    # and with valid reprojection + agreeing guides, history IS used
+    # and with valid reprojection + agreeing guides, history IS used —
+    # but the TAA-style neighborhood clamp bounds the poisoned 7.0
+    # history to the 3x3 max of the current spatial estimate, so the
+    # pull is real yet the output never exceeds the local range
+    from henjou_tpu.post.denoise import _maxpool3
+
     out2 = denoise_temporal_reprojected(
         color, albedo, normal, prev, albedo, normal,
         xx, yy, jnp.ones((h, w), bool),
     )
-    assert float(jnp.abs(out2 - spatial).max()) > 1.0
+    assert float(jnp.abs(out2 - spatial).max()) > 0.1
+    assert float((out2 - _maxpool3(spatial)).max()) <= 1e-6
 
 
 def test_chunked_closest_hit_matches_single_call():
@@ -180,3 +186,120 @@ def test_chunked_closest_hit_matches_single_call():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6
         )
+
+
+def test_temporal_accumulate_merges_counts_and_variance():
+    """Identity reprojection + agreeing guides: the merged mean is the
+    count-weighted average, variance drops accordingly, and the history
+    count is capped at cap*n_c. Disoccluded pixels keep the current
+    frame untouched."""
+    from henjou_tpu.post.denoise import temporal_accumulate
+
+    h, w = 8, 12
+    rng = np.random.default_rng(7)
+    albedo = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    normal = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    cur = jnp.full((h, w, 3), 2.0, jnp.float32)
+    hist = jnp.full((h, w, 3), 2.0, jnp.float32)
+    var = jnp.full((h, w), 0.1, jnp.float32)
+    pvar = jnp.full((h, w), 0.05, jnp.float32)
+    cnt = jnp.full((h, w), 8.0, jnp.float32)
+    pcnt = jnp.full((h, w), 8.0, jnp.float32)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32) + 0.5,
+        jnp.arange(w, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    valid = jnp.ones((h, w), bool)
+    merged, var_m, n_eff = temporal_accumulate(
+        cur, var, cnt, albedo, normal,
+        hist, pvar, pcnt, albedo, normal, xx, yy, valid,
+    )
+    # equal counts, equal means -> mean unchanged, n_eff = 16,
+    # var = (64*0.1 + 64*0.05)/256 = 0.0375
+    np.testing.assert_allclose(np.asarray(merged), 2.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n_eff), 16.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_m), 0.0375, atol=1e-5)
+
+    # history count far above the cap: n_h clamps to cap*n_c = 32
+    merged2, _, n_eff2 = temporal_accumulate(
+        cur, var, cnt, albedo, normal,
+        hist, pvar, jnp.full((h, w), 1000.0, jnp.float32),
+        albedo, normal, xx, yy, valid,
+    )
+    np.testing.assert_allclose(np.asarray(n_eff2), 40.0, atol=1e-3)
+
+    # disocclusion (valid=0 everywhere): current frame passes through
+    merged3, var3, n3 = temporal_accumulate(
+        cur, var, cnt, albedo, normal,
+        hist + 5.0, pvar, pcnt, albedo, normal, xx, yy,
+        jnp.zeros((h, w), bool),
+    )
+    np.testing.assert_allclose(np.asarray(merged3), 2.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n3), 8.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var3), 0.1, atol=1e-5)
+
+
+def test_temporal_accumulate_neighborhood_clamp():
+    """A ghosted history (radiance moved, guides identical — the
+    view-dependent case) is clamped to the 3x3 range of the current raw
+    mean, so the merged value stays within the local range."""
+    from henjou_tpu.post.denoise import _maxpool3, temporal_accumulate
+
+    h, w = 8, 8
+    rng = np.random.default_rng(11)
+    albedo = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    normal = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    cur = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    hist = jnp.full((h, w, 3), 50.0, jnp.float32)  # poisoned history
+    var = jnp.full((h, w), 0.1, jnp.float32)
+    cnt = jnp.full((h, w), 8.0, jnp.float32)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32) + 0.5,
+        jnp.arange(w, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    merged, _, _ = temporal_accumulate(
+        cur, var, cnt, albedo, normal,
+        hist, var, cnt, albedo, normal, xx, yy,
+        jnp.ones((h, w), bool),
+    )
+    # clamp bound is variance-aware: local 3x3 range + 3 sigma of the
+    # current pixel's noise (loose where noisy, tight where converged)
+    bound = _maxpool3(cur) + 3.0 * jnp.sqrt(var)[..., None]
+    assert float((merged - bound).max()) <= 1e-5
+    # converged pixel (var -> 0): the ghost is fully clamped to range
+    merged0, _, _ = temporal_accumulate(
+        cur, jnp.zeros((h, w), jnp.float32), cnt, albedo, normal,
+        hist, var, cnt, albedo, normal, xx, yy,
+        jnp.ones((h, w), bool),
+    )
+    assert float((merged0 - _maxpool3(cur)).max()) <= 1e-5
+
+
+def test_project_to_pixel_nonorthogonal_reference_basis():
+    """The contest/gltf camera keeps WORLD up=(0,1,0) as the film
+    vertical while the direction pitches (reference renderer.h camera:
+    up is not orthogonalized against direction) — the projection must
+    invert raygen for that basis too. Regression for the ~200 px
+    vertical reprojection error that silently zeroed the temporal
+    history gate (BASELINE.md round-5 temporal ledger)."""
+    from henjou_tpu.runtime.camera import (
+        camera_rays_centers, make_camera, project_to_pixel,
+    )
+
+    d = np.asarray([0.0, -0.27, 0.96], np.float32)
+    d /= np.linalg.norm(d)
+    cam = make_camera(
+        [0.0, 6.0, -16.5], d, np.radians(40.0),
+        up=[0.0, 1.0, 0.0], right=np.cross(d, [0.0, 1.0, 0.0]),
+    )
+    assert abs(float(cam.up @ cam.direction)) > 0.1  # genuinely skewed
+    w, h = 48, 28
+    o, rd = camera_rays_centers(cam, w, h)
+    ts = jnp.linspace(0.5, 30.0, w * h)[:, None]
+    px, py, valid = project_to_pixel(cam, o + ts * rd, w, h)
+    iy, ix = np.divmod(np.arange(w * h), w)
+    assert bool(np.all(np.asarray(valid)))
+    np.testing.assert_allclose(np.asarray(px), ix + 0.5, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(py), iy + 0.5, atol=2e-3)

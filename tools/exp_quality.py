@@ -61,6 +61,24 @@ def rmse(a, b):
     return float(np.sqrt(np.mean((a - b) ** 2)))
 
 
+def rmse_srgb(a, b):
+    """Display-space RMSE (piecewise sRGB encode of the [0,1]-clipped
+    linear image). The half-res/upscale and temporal ledgers MUST be
+    scored here as well: in linear HDR the metric is dominated by
+    sub-pixel clamped-16.0 highlights a half-res render cannot
+    represent (a PERFECT half-res image bilinear-upsampled scores
+    linear RMSE 0.39 vs the 720p truth — worse than a raw 32-spp
+    full-res render), so linear RMSE cannot rank these modes."""
+
+    def enc(x):
+        x = np.clip(np.asarray(x), 0.0, 1.0)
+        return np.where(
+            x <= 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055
+        )
+
+    return float(np.sqrt(np.mean((enc(a) - enc(b)) ** 2)))
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
     if mode == "truth":
@@ -91,12 +109,19 @@ def main():
 
     if mode == "aovs":
         adaptive = "--adaptive" in sys.argv
+        # --spp N: sample-matched dump (fixed total, no deadline) —
+        # adaptive redistributes the SAME total across pixels, so
+        # uniform-vs-adaptive comparisons are estimator-only
+        fixed = 0
+        if "--spp" in sys.argv:
+            fixed = int(sys.argv[sys.argv.index("--spp") + 1])
         tag = f"{sampler}{'_ada' if adaptive else ''}" \
-              f"{'_' + metric if metric != 'relstd' else ''}_{int(budget)}s"
-        r = _renderer(adaptive=adaptive, max_spp=100000,
+              f"{'_' + metric if metric != 'relstd' else ''}" \
+              f"_{f'{fixed}spp' if fixed else f'{int(budget)}s'}"
+        r = _renderer(adaptive=adaptive, max_spp=fixed or 100000,
                       firefly_clamp=64.0, sampler=sampler, metric=metric)
         t0 = time.monotonic()
-        aovs = r.render_frame(0, deadline=budget)
+        aovs = r.render_frame(0, deadline=None if fixed else budget)
         wall = time.monotonic() - t0
         out = f"/root/aovs_rtcamp720_{tag}.npz"
         np.savez_compressed(
@@ -253,6 +278,13 @@ def _temporal(budget: float):
     truth_spp = 512
     if "--truth-spp" in sys.argv:
         truth_spp = int(sys.argv[sys.argv.index("--truth-spp") + 1])
+    # --spp N: SAMPLE-MATCHED arms (fixed spp, no deadline) — the
+    # deadline scheduler hands out whole 16-spp chunks, so equal-budget
+    # arms can differ by ~25% spp run-to-run, which swamps the
+    # temporal-vs-spatial delta being measured
+    fixed_spp = 0
+    if "--spp" in sys.argv:
+        fixed_spp = int(sys.argv[sys.argv.index("--spp") + 1])
     opt_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "scenes", "rtcamp_720_option.json",
@@ -286,23 +318,53 @@ def _temporal(budget: float):
             )
         gt[f] = np.load(path)["color"]
 
-    print(f"temporal: budget {budget:.0f}s/frame, contest gltf", flush=True)
+    print(
+        f"temporal: {f'{fixed_spp} spp (sample-matched)' if fixed_spp else f'budget {budget:.0f}s'}"
+        f"/frame, contest gltf", flush=True,
+    )
     for arm, mode in (
         ("spatial", RenderMode.DENOISE),
         ("temporal", RenderMode.DENOISE_TEMPORAL),
     ):
-        r = _mk(mode, 100000)
+        r = _mk(mode, fixed_spp if fixed_spp else 100000)
         # warm the pipeline so frame 0's budget isn't all compile
         r.render_frame(0, deadline=0.5)
         for f in (0, 1):
             t0 = time.monotonic()
-            aovs = r.render_frame(f, deadline=budget)
+            aovs = r.render_frame(
+                f, deadline=None if fixed_spp else budget
+            )
             img = np.asarray(r._finalize(aovs, frame=f))
             wall = time.monotonic() - t0
+            merged = ""
+            raw_hist = getattr(r, "_temporal_raw", None)
+            if arm == "temporal" and raw_hist is not None and f > 0:
+                merged = (
+                    f"  merged {rmse(np.asarray(raw_hist[0]), gt[f]):.5f}"
+                    f"  neff {float(np.mean(np.asarray(raw_hist[2]))):.1f}"
+                )
+                dbg = getattr(r, "_temporal_dbg", None)
+                if dbg is not None:
+                    np.savez_compressed(
+                        f"/root/dbg_temporal_f{f}.npz",
+                        px=np.asarray(dbg[0]), py=np.asarray(dbg[1]),
+                        valid=np.asarray(dbg[2]),
+                        prev_color=np.asarray(dbg[3][0]),
+                        prev_var=np.asarray(dbg[3][1]),
+                        prev_count=np.asarray(dbg[3][2]),
+                        prev_albedo=np.asarray(dbg[3][3]),
+                        prev_normal=np.asarray(dbg[3][4]),
+                        merged=np.asarray(raw_hist[0]),
+                        neff=np.asarray(raw_hist[2]),
+                        color=aovs["color"], albedo=aovs["albedo"],
+                        normal=aovs["normal"],
+                        variance=aovs["variance"], count=aovs["count"],
+                    )
             print(
                 f"  {arm:8s} f{f}: {wall:6.1f}s  spp {aovs['spp_done']:4d}"
                 f"  raw {rmse(aovs['color'], gt[f]):.5f}"
-                f"  out {rmse(img, gt[f]):.5f}", flush=True,
+                f"  out {rmse(img, gt[f]):.5f}"
+                f"  srgb {rmse_srgb(img, gt[f]):.5f}{merged}", flush=True,
             )
 
 
@@ -349,7 +411,8 @@ def _upscale(budget: float):
     print(
         f"  fullres  : {time.monotonic() - t0:6.1f}s  spp "
         f"{aovs['spp_done']:4d}  raw {rmse(aovs['color'], gt):.5f}  "
-        f"svgf {rmse(img, gt):.5f}", flush=True,
+        f"svgf {rmse(img, gt):.5f}  srgb {rmse_srgb(img, gt):.5f}",
+        flush=True,
     )
 
     r = _mk(RenderMode.DENOISE_UPSCALE2X)
@@ -362,10 +425,22 @@ def _upscale(budget: float):
     img_b = np.asarray(upscale2x(jnp.asarray(spatial)))
     print(
         f"  up-guided: {wall:6.1f}s  spp {aovs['spp_done']:4d} "
-        f"(@640x360)  out {rmse(img_g, gt):.5f}", flush=True,
+        f"(@640x360)  out {rmse(img_g, gt):.5f}  "
+        f"srgb {rmse_srgb(img_g, gt):.5f}", flush=True,
     )
-    print(f"  up-bilin : same film               out {rmse(img_b, gt):.5f}",
-          flush=True)
+    print(
+        f"  up-bilin : same film               out {rmse(img_b, gt):.5f}  "
+        f"srgb {rmse_srgb(img_b, gt):.5f}", flush=True,
+    )
+    # the resolution bound: a PERFECT half-res image, bilinear-upsampled
+    gt_lo = gt.reshape(
+        gt.shape[0] // 2, 2, gt.shape[1] // 2, 2, 3
+    ).mean(axis=(1, 3))
+    perf = np.asarray(upscale2x(jnp.asarray(gt_lo)))
+    print(
+        f"  bound    : perfect half-res + bilin   out {rmse(perf, gt):.5f}  "
+        f"srgb {rmse_srgb(perf, gt):.5f}", flush=True,
+    )
 
 
 def _tune():
